@@ -1,0 +1,196 @@
+"""Multi-scalar multiplication engine (TPU-native, gather-based).
+
+Serves every hot path of the protocol (SURVEY §3.3): Pedersen vector
+commitments, ElGamal encrypt/remask/reveal exponentiations, batched sigma
+verification, and the Bayer-Groth multi-exponentiation argument — the
+reference's analytic cost model puts the shuffle prover at m*N curve
+exponentiations (`examples/parameter_selection.rs:3`).
+
+TPUs dislike scatter, so the classic Pippenger bucket accumulation is replaced
+with two gather-friendly schemes:
+
+- **Variable-base MSM** (`msm`): per-point windowed tables (c-bit windows).
+  Table build: 2^c - 2 adds per point; main loop: one gather + tree-sum of N
+  points per window + c doublings of the accumulator. ~(2^c + W) adds per
+  point for W = ceil(bits/c) windows — ~5x fewer point ops than a binary
+  ladder at c=4, all expressed as `take_along_axis` gathers and `lax.scan`.
+
+- **Fixed-base multiply/MSM** (`FixedBaseTable`): full window tables
+  T[w][d] = d * 2^(c*w) * B precomputed once per base (per game setup).
+  A scalar multiply is then W-1 adds and zero doublings; every protocol
+  mask/remask/commit hits this path.
+
+Scalars enter in **canonical** (non-Montgomery) limb form, [..., L] uint32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve import Curve, PointP
+from .field import LIMB_BITS
+
+
+def scalar_digits(k: jnp.ndarray, c: int, nbits: int) -> jnp.ndarray:
+    """Canonical limbs [..., L] -> c-bit digits [W, ...] (LSB window first)."""
+    assert LIMB_BITS % c == 0, "window must divide limb width"
+    per_limb = LIMB_BITS // c
+    W = -(-nbits // c)
+    digs = []
+    for w in range(W):
+        limb = w // per_limb
+        sh = (w % per_limb) * c
+        digs.append((k[..., limb] >> sh) & ((1 << c) - 1))
+    return jnp.stack(digs, axis=0)
+
+
+def _gather_points(table: PointP, idx: jnp.ndarray) -> PointP:
+    """table: PointP with coords [..., T, L]; idx: [...] -> PointP [..., L]."""
+    ix = idx[..., None, None]
+    L = table.x.shape[-1]
+
+    def g(coord):
+        return jnp.take_along_axis(coord, jnp.broadcast_to(ix, idx.shape + (1, L)), axis=-2)[
+            ..., 0, :
+        ]
+
+    return PointP(g(table.x), g(table.y), g(table.z))
+
+
+def build_tables(cv: Curve, P: PointP, c: int = 4) -> PointP:
+    """Per-point multiples table: coords [..., 2^c, L]; entry d = d*P."""
+    entries = [cv.identity(P.x.shape[:-1]), P]
+    for _ in range(2, 1 << c):
+        entries.append(cv.add(entries[-1], P))
+
+    def stk(i):
+        return jnp.stack([e[i] for e in entries], axis=-2)
+
+    return PointP(stk(0), stk(1), stk(2))
+
+
+def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+    """sum_i scalars[i] * points[i] over the second-to-last axis.
+
+    points: PointP coords [..., N, L]; scalars: canonical limbs [..., N, L].
+    Returns PointP [..., L].
+    """
+    nbits = cv.fr.bits
+    table = build_tables(cv, points, c)
+    digits = scalar_digits(scalars, c, nbits)  # [W, ..., N]
+    batch = points.x.shape[:-2]
+
+    def body(acc, dig):
+        for _ in range(c):
+            acc = cv.dbl(acc)
+        pts = _gather_points(table, dig)  # [..., N, L]
+        s = cv.sum_points(pts, axis=pts.x.ndim - 2)
+        return cv.add(acc, s), None
+
+    # scan MSB window first
+    acc, _ = jax.lax.scan(body, cv.identity(batch), jnp.flip(digits, axis=0))
+    return acc
+
+
+class FixedBaseTable:
+    """Precomputed windowed table for a fixed base point.
+
+    coords [W, 2^c, L]; entry [w, d] = d * 2^(c*w) * B. Scalar multiplication
+    is then a gather + (W-1) adds with no doublings.
+    """
+
+    def __init__(self, cv: Curve, host_point, c: int = 4):
+        self.cv = cv
+        self.c = c
+        self.nbits = cv.fr.bits
+        self.W = -(-self.nbits // c)
+        host = cv.host
+        rows = []
+        base = host_point
+        for _ in range(self.W):
+            row = [host.identity]
+            for d in range(1, 1 << c):
+                row.append(host.add(row[-1], base))
+            rows.append(row)
+            base = host.mul_unbounded(1 << c, base)
+        flat = [p for row in rows for p in row]
+        pts = cv.from_host_points(flat)  # [W*2^c, L]
+        shape = (self.W, 1 << c)
+        self.table = PointP(
+            pts.x.reshape(shape + (-1,)),
+            pts.y.reshape(shape + (-1,)),
+            pts.z.reshape(shape + (-1,)),
+        )
+
+    def mul(self, scalars: jnp.ndarray) -> PointP:
+        """scalars: canonical limbs [..., L] -> PointP [..., L].
+
+        One flat gather of all W window entries, then a log-depth tree sum —
+        W-1 point additions total, expressed as ~log2(W) batched adds.
+        """
+        digits = scalar_digits(scalars, self.c, self.nbits)  # [W, ...]
+        digits = jnp.moveaxis(digits, 0, -1)  # [..., W]
+        cv = self.cv
+        batch = scalars.shape[:-1]
+        W, T = self.W, 1 << self.c
+        flat_idx = jnp.arange(W) * T + digits  # [..., W]
+        L = self.table.x.shape[-1]
+
+        def g(coord):
+            flat = coord.reshape(-1, L)
+            return flat[flat_idx.reshape(-1)].reshape(batch + (W, L))
+
+        pts = PointP(g(self.table.x), g(self.table.y), g(self.table.z))
+        return cv.sum_points(pts, axis=pts.x.ndim - 2)
+
+
+class FixedBaseMSM:
+    """Fixed-base MSM over a vector of fixed bases (e.g. a Pedersen commit
+    key): result = sum_i scalars[..., i] * bases[i]."""
+
+    def __init__(self, cv: Curve, host_points, c: int = 4):
+        self.cv = cv
+        self.c = c
+        self.nbits = cv.fr.bits
+        self.W = -(-self.nbits // c)
+        self.n = len(host_points)
+        host = cv.host
+        flat = []
+        for hp in host_points:
+            base = hp
+            for _ in range(self.W):
+                row = [host.identity]
+                for d in range(1, 1 << c):
+                    row.append(host.add(row[-1], base))
+                flat.extend(row)
+                base = host.mul_unbounded(1 << c, base)
+        pts = cv.from_host_points(flat)
+        shape = (self.n, self.W, 1 << c)
+        self.table = PointP(
+            pts.x.reshape(shape + (-1,)),
+            pts.y.reshape(shape + (-1,)),
+            pts.z.reshape(shape + (-1,)),
+        )
+
+    def msm(self, scalars: jnp.ndarray) -> PointP:
+        """scalars: canonical limbs [..., n, L] -> PointP [..., L]."""
+        cv = self.cv
+        n, W, T = self.n, self.W, 1 << self.c
+        batch = scalars.shape[:-2]
+        digits = scalar_digits(scalars, self.c, self.nbits)  # [W, ..., n]
+        digits = jnp.moveaxis(digits, 0, -1)  # [..., n, W]
+        flat_idx = (
+            jnp.arange(n)[:, None] * (W * T)
+            + jnp.arange(W)[None, :] * T
+            + digits
+        )  # [..., n, W]
+        L = self.table.x.shape[-1]
+
+        def g(coord):
+            flat = coord.reshape(-1, L)
+            return flat[flat_idx.reshape(-1)].reshape(batch + (n * W, L))
+
+        pts = PointP(g(self.table.x), g(self.table.y), g(self.table.z))
+        return cv.sum_points(pts, axis=pts.x.ndim - 2)
