@@ -1,0 +1,116 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): Bayer-Groth 52-card shuffle prove+verify throughput
+(proofs/sec/chip) on the canonical game shape m=2, n=26, Stark curve — the
+reference's `examples/round.rs:229-231` configuration.
+
+`vs_baseline` compares against the arkworks/Rust reference running the same
+(m, n) = (2, 26) shuffle on one CPU core. The reference publishes no numbers
+(BASELINE.md), and this container has no Rust toolchain to measure it, so the
+baseline constant below is an analytic estimate from the reference's own cost
+model (`parameter_selection.rs:3`): prover ~ m*N + ~6N exponentiations + 2N
+remask exps ~ 700 variable-base 252-bit exps at ~130 us each (arkworks 0.3
+class hardware) plus verifier ~ same order => ~0.2 s per prove+verify pair,
+i.e. ~5 pairs/sec. Replace with a measured number when a Rust host is
+available.
+
+Env knobs:
+  MPTPU_BENCH_MODE = shuffle52 (default) | msm | round
+  MPTPU_BENCH_REPS = timed repetitions (default 3)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mental_poker_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+ARKWORKS_CPU_SHUFFLE52_PAIRS_PER_S = 5.0  # analytic estimate; see module doc
+
+
+def bench_shuffle52(reps: int) -> dict:
+    from mental_poker_tpu.crypto import elgamal
+    from mental_poker_tpu.protocol.dl_cards import DLCards
+    from mental_poker_tpu.utils.rand import GameRng
+
+    m, n = 2, 26
+    N = m * n
+    proto = DLCards()
+    rng = GameRng(1234)
+    pp = proto.setup(rng, m, n)
+    pk, sk = proto.player_keygen(rng, pp)
+    info = b"bench"
+    kproof = proto.prove_key_ownership(rng, pp, pk, sk, info)
+    agg = proto.compute_aggregate_key(pp, [(pk, kproof, info)])
+    deck = elgamal.rand_ciphertexts(proto.cv, rng, N)
+
+    def one():
+        pi = rng.permutation(N)
+        rho = [rng.scalar(proto.cv.host.order) for _ in range(N)]
+        shuffled, proof = proto.shuffle_and_remask(rng, pp, agg, deck, rho, pi)
+        proto.verify_shuffle(pp, agg, deck, shuffled, proof)
+
+    one()  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        one()
+    dt = (time.perf_counter() - t0) / reps
+    pairs_per_s = 1.0 / dt
+    return {
+        "metric": "shuffle52_prove_verify_pairs_per_s",
+        "value": round(pairs_per_s, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": round(pairs_per_s / ARKWORKS_CPU_SHUFFLE52_PAIRS_PER_S, 4),
+    }
+
+
+def bench_msm(reps: int) -> dict:
+    """Variable-base MSM points/sec on a 1024-point batch (stress config)."""
+    import jax
+    import numpy as np
+
+    from mental_poker_tpu.crypto import elgamal
+    from mental_poker_tpu.ops import curve as curve_mod, msm as msm_mod
+    from mental_poker_tpu.utils.rand import GameRng, ints_to_limbs
+
+    cv = curve_mod.stark_curve()
+    rng = GameRng(7)
+    NPTS = 1024
+    pts = elgamal.rand_plaintexts(cv, rng, NPTS)
+    k = ints_to_limbs([rng.scalar(cv.host.order) for _ in range(NPTS)], cv.fr.L)
+
+    f = jax.jit(lambda P, s: msm_mod.msm(cv, P, s))
+    out = f(pts, k)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(pts, k)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    pps = NPTS / dt
+    # arkworks CPU Pippenger ~ 6 us/point at 2^10 (252-bit) => ~170k pts/s
+    return {
+        "metric": "msm_1024_points_per_s",
+        "value": round(pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pps / 170_000.0, 4),
+    }
+
+
+def main():
+    mode = os.environ.get("MPTPU_BENCH_MODE", "shuffle52")
+    reps = int(os.environ.get("MPTPU_BENCH_REPS", "3"))
+    if mode == "msm":
+        result = bench_msm(reps)
+    else:
+        result = bench_shuffle52(reps)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,8 +60,8 @@ def _as_matrix(cts: Ciphertexts, m: int, n: int) -> Ciphertexts:
 def _statement_bytes(pp, shared_key, deck_in, deck_out) -> bytes:
     cv = pp.cv
     blob = serialize.point_to_bytes(shared_key.host, cv.host)
-    blob += b"".join(me.cipher_bytes(cv, me.cipher_to_host(cv, deck_in)))
-    blob += b"".join(me.cipher_bytes(cv, me.cipher_to_host(cv, deck_out)))
+    blob += me.cipher_bytes(cv, me.cipher_to_host(cv, deck_in))
+    blob += me.cipher_bytes(cv, me.cipher_to_host(cv, deck_out))
     blob += pp.m.to_bytes(8, "little") + pp.n.to_bytes(8, "little")
     return blob
 

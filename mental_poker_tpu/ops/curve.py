@@ -50,6 +50,57 @@ class Curve:
         self.b3_mont = fq.from_int(3 * host.b)
         self.a_is_zero = self.a_int == 0
         self.gen_affine = (fq.from_int(host.gx), fq.from_int(host.gy))
+        self.b_mont = fq.from_int(host.b)
+        # Jit every public device entry point (see Field.__init__). Compile
+        # time per program/shape is the dominant cost (10-40s on both CPU and
+        # TPU backends), so the heavyweight entries (scalar_mul, to_affine)
+        # additionally canonicalize their batch shape — flatten + pad to the
+        # next power of two — to maximize compile-cache reuse across callers.
+        self.add = jax.jit(self.add)
+        self.dbl = jax.jit(self.dbl)
+        self.neg = jax.jit(self.neg)
+        self.select = jax.jit(self.select)
+        self.eq = jax.jit(self.eq)
+        self.on_curve = jax.jit(self.on_curve)
+        self._to_affine_jit = jax.jit(self.to_affine)
+        self.to_affine = self._to_affine_canon
+        self._scalar_mul_jit = jax.jit(self.scalar_mul, static_argnames=("c",))
+        self.scalar_mul = self._scalar_mul_canon
+        self.sum_points = jax.jit(self.sum_points, static_argnames=("axis", "chunk"))
+
+    @staticmethod
+    def _pow2(n: int) -> int:
+        return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+    def _scalar_mul_canon(self, k, P: PointP, c: int = 4) -> PointP:
+        """scalar_mul with canonical [B_pow2, L] batch shape (see __init__)."""
+        kL = k.shape[-1]
+        fL = P.x.shape[-1]
+        batch = jnp.broadcast_shapes(k.shape[:-1], P.x.shape[:-1])
+        B = int(np.prod(batch)) if batch else 1
+        Bp = self._pow2(B)
+        k = jnp.broadcast_to(k, batch + (kL,)).reshape(B, kL)
+        P = PointP(*(jnp.broadcast_to(q, batch + (fL,)).reshape(B, fL) for q in P))
+        if Bp != B:
+            k = jnp.concatenate([k, jnp.zeros((Bp - B, kL), k.dtype)], 0)
+            P = PointP(*(jnp.concatenate([q, jnp.zeros((Bp - B, fL), q.dtype)], 0) for q in P))
+        out = self._scalar_mul_jit(k, P, c=c)
+        return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
+
+    def _to_affine_canon(self, P: PointP):
+        fL = P.x.shape[-1]
+        batch = P.x.shape[:-1]
+        B = int(np.prod(batch)) if batch else 1
+        Bp = self._pow2(B)
+        Pf = PointP(*(q.reshape(B, fL) for q in P))
+        if Bp != B:
+            Pf = PointP(*(jnp.concatenate([q, jnp.zeros((Bp - B, fL), q.dtype)], 0) for q in Pf))
+        x, y, inf = self._to_affine_jit(Pf)
+        return (
+            x[:B].reshape(batch + (fL,)),
+            y[:B].reshape(batch + (fL,)),
+            inf[:B].reshape(batch),
+        )
 
     # ------------------------------------------------------------- building
     def identity(self, batch_shape=()) -> PointP:
@@ -108,94 +159,55 @@ class Curve:
         return PointP(P.x, self.fq.neg(P.y), P.z)
 
     def add(self, P: PointP, Q: PointP) -> PointP:
-        """Complete projective addition (RCB15 Algorithm 1; any `a`)."""
+        """Complete projective addition (RCB15 Algorithm 1; any `a`).
+
+        *Layered* formulation: the formula's 12 multiplications and ~17
+        additions are regrouped by dependency depth into 3 batched
+        `mont_mul` calls and ~7 batched add/sub calls over operands stacked
+        on a new leading axis. Semantically identical to the sequential
+        RCB algorithm, but the traced graph is ~4x smaller (compile time)
+        and the device ops are wider (VPU utilization).
+        """
         f = self.fq
-        mul, add, sub = f.mont_mul, f.add, f.sub
-        a = jnp.asarray(self.a_mont)
-        b3 = jnp.asarray(self.b3_mont)
-        X1, Y1, Z1 = P
-        X2, Y2, Z2 = Q
-        t0 = mul(X1, X2)
-        t1 = mul(Y1, Y2)
-        t2 = mul(Z1, Z2)
-        t3 = add(X1, Y1)
-        t4 = add(X2, Y2)
-        t3 = mul(t3, t4)
-        t4 = add(t0, t1)
-        t3 = sub(t3, t4)
-        t4 = add(X1, Z1)
-        t5 = add(X2, Z2)
-        t4 = mul(t4, t5)
-        t5 = add(t0, t2)
-        t4 = sub(t4, t5)
-        t5 = add(Y1, Z1)
-        X3 = add(Y2, Z2)
-        t5 = mul(t5, X3)
-        X3 = add(t1, t2)
-        t5 = sub(t5, X3)
-        Z3 = mul(a, t4)
-        X3 = mul(b3, t2)
-        Z3 = add(X3, Z3)
-        X3 = sub(t1, Z3)
-        Z3 = add(t1, Z3)
-        Y3 = mul(X3, Z3)
-        t1 = add(t0, t0)
-        t1 = add(t1, t0)
-        t2 = mul(a, t2)
-        t4 = mul(b3, t4)
-        t1 = add(t1, t2)
-        t2 = sub(t0, t2)
-        t2 = mul(a, t2)
-        t4 = add(t4, t2)
-        t0 = mul(t1, t4)
-        Y3 = add(Y3, t0)
-        t0 = mul(t5, t4)
-        X3 = mul(X3, t3)
-        X3 = sub(X3, t0)
-        t0 = mul(t3, t1)
-        Z3 = mul(t5, Z3)
-        Z3 = add(Z3, t0)
-        return PointP(X3, Y3, Z3)
+        X1, Y1, Z1 = jnp.broadcast_arrays(*P)
+        X2, Y2, Z2 = jnp.broadcast_arrays(*Q)
+        X1, X2 = jnp.broadcast_arrays(X1, X2)
+        Y1, Y2 = jnp.broadcast_arrays(Y1, Y2)
+        Z1, Z2 = jnp.broadcast_arrays(Z1, Z2)
+        bshape = X1.shape
+        a = jnp.broadcast_to(jnp.asarray(self.a_mont), bshape)
+        b3 = jnp.broadcast_to(jnp.asarray(self.b3_mont), bshape)
+
+        st = lambda *xs: jnp.stack(xs, axis=0)
+        # layer A: cross-sums, then the 6 independent products
+        sums = f.add(st(X1, X2, X1, X2, Y1, Y2), st(Y1, Y2, Z1, Z2, Z1, Z2))
+        prods = f.mont_mul(
+            st(X1, Y1, Z1, sums[0], sums[2], sums[4]),
+            st(X2, Y2, Z2, sums[1], sums[3], sums[5]),
+        )
+        t0, t1, t2, p3, p4, p5 = (prods[i] for i in range(6))
+        ss = f.add(st(t0, t0, t1), st(t1, t2, t2))  # t0+t1, t0+t2, t1+t2
+        d = f.sub(st(p3, p4, p5, t0), st(ss[0], ss[1], ss[2], t2))
+        t3, t4, t5, t0mt2 = (d[i] for i in range(4))
+        # layer B: products against the curve constants
+        u = f.mont_mul(st(a, b3, a, b3, a), st(t4, t2, t2, t4, t0mt2))
+        u0, u1, u2, u3, u4 = (u[i] for i in range(5))
+        cA = f.add(st(u1, t0, u3), st(u0, t0, u4))  # Z3', 2t0, t4b
+        Z3p, t0x2, t4b = cA[0], cA[1], cA[2]
+        cB = f.add(st(t0x2, t1), st(t0, Z3p))  # 3t0, Z3a
+        t1b = f.add(cB[0], u2)
+        X3a = f.sub(t1, Z3p)
+        Z3a = cB[1]
+        # layer C: final products and combinations
+        v = f.mont_mul(st(X3a, t1b, t5, X3a, t3, t5), st(Z3a, t4b, t4b, t3, t1b, Z3a))
+        fin = f.add(st(v[0], v[5]), st(v[1], v[4]))  # Y3, Z3
+        X3 = f.sub(v[3], v[2])
+        return PointP(X3, fin[0], fin[1])
 
     def dbl(self, P: PointP) -> PointP:
-        """Complete projective doubling (RCB15 Algorithm 3; any `a`)."""
-        f = self.fq
-        mul, add, sub = f.mont_mul, f.add, f.sub
-        a = jnp.asarray(self.a_mont)
-        b3 = jnp.asarray(self.b3_mont)
-        X, Y, Z = P
-        t0 = mul(X, X)
-        t1 = mul(Y, Y)
-        t2 = mul(Z, Z)
-        t3 = mul(X, Y)
-        t3 = add(t3, t3)
-        Z3 = mul(X, Z)
-        Z3 = add(Z3, Z3)
-        X3 = mul(a, Z3)
-        Y3 = mul(b3, t2)
-        Y3 = add(X3, Y3)
-        X3 = sub(t1, Y3)
-        Y3 = add(t1, Y3)
-        Y3 = mul(X3, Y3)
-        X3 = mul(t3, X3)
-        Z3 = mul(b3, Z3)
-        t2 = mul(a, t2)
-        t3 = sub(t0, t2)
-        t3 = mul(a, t3)
-        t3 = add(t3, Z3)
-        Z3 = add(t0, t0)
-        t0 = add(Z3, t0)
-        t0 = add(t0, t2)
-        t0 = mul(t0, t3)
-        Y3 = add(Y3, t0)
-        t2 = mul(Y, Z)
-        t2 = add(t2, t2)
-        t0 = mul(t2, t3)
-        X3 = sub(X3, t0)
-        Z3 = mul(t2, t1)
-        Z3 = add(Z3, Z3)
-        Z3 = add(Z3, Z3)
-        return PointP(X3, Y3, Z3)
+        """Complete doubling = add(P, P) (the complete formulas cover it);
+        reuses the layered-add compiled program instead of a second one."""
+        return self.add(P, P)
 
     def select(self, cond, P: PointP, Q: PointP) -> PointP:
         """cond[... batch] ? P : Q, elementwise."""
@@ -234,49 +246,125 @@ class Curve:
             planes.append((k[..., t // LIMB_BITS] >> (t % LIMB_BITS)) & 1)
         return jnp.stack(planes, axis=0)
 
-    def scalar_mul(self, k, P: PointP) -> PointP:
+    def scalar_mul(self, k, P: PointP, c: int = 4) -> PointP:
         """k * P; `k` = canonical (non-Montgomery) scalar limbs [..., L]
-        broadcastable against P's batch shape."""
-        bits = self.scalar_bits(k)
+        broadcastable against P's batch shape.
 
-        def body(acc, bit):
-            acc = self.dbl(acc)
-            acc2 = self.add(acc, P)
-            return self.select(bit != 0, acc2, acc), None
-
+        Windowed (c-bit) double-and-add: a per-point multiples table
+        (2^c - 2 adds, branch-free thanks to complete formulas — entry 0 is
+        the identity and adds through the same code path), then a scan over
+        W = ceil(bits/c) windows of (c doublings + 1 gather + 1 add) —
+        ~4x fewer point additions than a bit ladder.
+        """
         batch = jnp.broadcast_shapes(k.shape[:-1], P.x.shape[:-1])
-        Pb = PointP(
-            jnp.broadcast_to(P.x, batch + P.x.shape[-1:]),
-            jnp.broadcast_to(P.y, batch + P.y.shape[-1:]),
-            jnp.broadcast_to(P.z, batch + P.z.shape[-1:]),
+        fL = P.x.shape[-1]
+        P = PointP(
+            jnp.broadcast_to(P.x, batch + (fL,)),
+            jnp.broadcast_to(P.y, batch + (fL,)),
+            jnp.broadcast_to(P.z, batch + (fL,)),
         )
-        P = Pb
-        acc, _ = jax.lax.scan(body, self.identity(batch), bits)
+        k = jnp.broadcast_to(k, batch + (k.shape[-1],))
+        table = self.multiples_table(P, c)  # [..., 2^c, L]
+
+        nbits = self.fr.bits
+        W = -(-nbits // c)
+        per_limb = LIMB_BITS // c
+        digits = jnp.stack(
+            [
+                (k[..., w // per_limb] >> ((w % per_limb) * c)) & ((1 << c) - 1)
+                for w in range(W - 1, -1, -1)
+            ],
+            axis=0,
+        )  # [W, ...] MSB window first
+
+        def dbl_body(i, acc):
+            return self.dbl(acc)
+
+        def body(acc, dig):
+            acc = jax.lax.fori_loop(0, c, dbl_body, acc)
+            ix = dig[..., None, None]
+            ent = PointP(
+                *(
+                    jnp.take_along_axis(
+                        coord, jnp.broadcast_to(ix, dig.shape + (1, fL)), axis=-2
+                    )[..., 0, :]
+                    for coord in table
+                )
+            )
+            return self.add(acc, ent), None
+
+        acc, _ = jax.lax.scan(body, self.identity(batch), digits)
         return acc
 
-    def sum_points(self, P: PointP, axis: int = 0) -> PointP:
-        """EC sum reduction along a batch axis (log-depth tree)."""
+    def multiples_table(self, P: PointP, c: int) -> PointP:
+        """[identity, P, 2P, ..., (2^c - 1)P] stacked on axis -2, built with a
+        scan so point-add is traced ONCE (keeps compile time flat)."""
+        batch = P.x.shape[:-1]
+
+        def body(acc, _):
+            nxt = self.add(acc, P)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(body, self.identity(batch), None, length=(1 << c) - 1)
+        # rest coords: [2^c - 1, ..., L]; prepend identity and move to axis -2
+        ident = self.identity(batch)
+        table = PointP(
+            *(
+                jnp.moveaxis(jnp.concatenate([i0[None], r], axis=0), 0, -2)
+                for i0, r in zip(ident, rest)
+            )
+        )
+        return table
+
+    def sum_points(self, P: PointP, axis: int = 0, chunk: int = 8) -> PointP:
+        """EC sum reduction along a batch axis.
+
+        Mixed scan+tree scheme: pad with the identity to a multiple of a
+        power-of-two `chunk`, scan-accumulate the chunks (point-add traced
+        ONCE — keeps compile time flat), then tree-reduce the final chunk
+        (log2(chunk) adds). The identity padding is exact under the complete
+        formulas.
+        """
         x, y, z = P
         if axis != 0:
             x = jnp.moveaxis(x, axis, 0)
             y = jnp.moveaxis(y, axis, 0)
             z = jnp.moveaxis(z, axis, 0)
         n = x.shape[0]
-        Pt = PointP(x, y, z)
-        while n > 1:
-            half = n // 2
-            even = PointP(Pt.x[: 2 * half : 2], Pt.y[: 2 * half : 2], Pt.z[: 2 * half : 2])
-            odd = PointP(Pt.x[1 : 2 * half : 2], Pt.y[1 : 2 * half : 2], Pt.z[1 : 2 * half : 2])
-            s = self.add(even, odd)
-            if n % 2:
-                s = PointP(
-                    jnp.concatenate([s.x, Pt.x[-1:]], 0),
-                    jnp.concatenate([s.y, Pt.y[-1:]], 0),
-                    jnp.concatenate([s.z, Pt.z[-1:]], 0),
-                )
-            Pt = s
-            n = Pt.x.shape[0]
-        return PointP(Pt.x[0], Pt.y[0], Pt.z[0])
+        while chunk > max(n, 1):
+            chunk //= 2
+        G = -(-n // chunk)
+        rest = x.shape[1:]
+        if G * chunk != n:
+            padn = G * chunk - n
+            ident = self.identity((padn,) + rest[:-1])
+            x = jnp.concatenate([x, ident.x], 0)
+            y = jnp.concatenate([y, ident.y], 0)
+            z = jnp.concatenate([z, ident.z], 0)
+        Pt = PointP(
+            x.reshape((G, chunk) + rest),
+            y.reshape((G, chunk) + rest),
+            z.reshape((G, chunk) + rest),
+        )
+        if G > 1:
+            def body(acc, row):
+                return self.add(acc, PointP(*row)), None
+
+            acc, _ = jax.lax.scan(
+                body, self.identity((chunk,) + rest[:-1]), tuple(Pt)
+            )
+        else:
+            acc = PointP(Pt.x[0], Pt.y[0], Pt.z[0])
+        # tree-reduce the chunk (power of two)
+        m = chunk
+        while m > 1:
+            h = m // 2
+            acc = self.add(
+                PointP(acc.x[:h], acc.y[:h], acc.z[:h]),
+                PointP(acc.x[h:m], acc.y[h:m], acc.z[h:m]),
+            )
+            m = h
+        return PointP(acc.x[0], acc.y[0], acc.z[0])
 
     # ------------------------------------------------------------ to affine
     def to_affine(self, P: PointP):

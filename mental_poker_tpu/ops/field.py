@@ -92,6 +92,19 @@ class Field:
         self._hi_valid = ((j_hi >= 0) & (j_hi < L)).astype(np.uint32)
         self._j_lo = np.clip(j_lo, 0, L - 1).astype(np.int32)
         self._j_hi = np.clip(j_hi, 0, L - 1).astype(np.int32)
+        # Jit every public device entry point (compiled once per input shape,
+        # cached persistently). Without this the stack runs eagerly — hundreds
+        # of thousands of per-op dispatches per scalar multiplication.
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.neg = jax.jit(self.neg)
+        self.mont_mul = jax.jit(self.mont_mul)
+        self.sqr = jax.jit(self.sqr)
+        self.to_mont = jax.jit(self.to_mont)
+        self.from_mont = jax.jit(self.from_mont)
+        self.pow_const = jax.jit(self.pow_const, static_argnums=1)
+        self.inv = jax.jit(self.inv)
+        self.batch_inv = jax.jit(self.batch_inv, static_argnames=("axis",))
 
     # ------------------------------------------------------------------ host
     def from_int(self, x: int) -> np.ndarray:

@@ -60,31 +60,57 @@ def _gather_points(table: PointP, idx: jnp.ndarray) -> PointP:
 
 
 def build_tables(cv: Curve, P: PointP, c: int = 4) -> PointP:
-    """Per-point multiples table: coords [..., 2^c, L]; entry d = d*P."""
-    entries = [cv.identity(P.x.shape[:-1]), P]
-    for _ in range(2, 1 << c):
-        entries.append(cv.add(entries[-1], P))
+    """Per-point multiples table: coords [..., 2^c, L]; entry d = d*P.
+    Scan-built (one traced point-add) to keep compile time flat."""
+    return cv.multiples_table(P, c)
 
-    def stk(i):
-        return jnp.stack([e[i] for e in entries], axis=-2)
 
-    return PointP(stk(0), stk(1), stk(2))
+_MSM_CACHE: dict = {}
 
 
 def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
-    """sum_i scalars[i] * points[i] over the second-to-last axis.
+    """sum_i scalars[i] * points[i] over the second-to-last axis (jitted,
+    cached per curve/window).
 
     points: PointP coords [..., N, L]; scalars: canonical limbs [..., N, L].
     Returns PointP [..., L].
     """
+    key = (id(cv), c)
+    fn = _MSM_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda P, s: _msm_impl(cv, P, s, c))
+        _MSM_CACHE[key] = fn
+    # Canonicalize: flatten batch and pad N to powers of two so callers share
+    # compiled programs. Padding points are (0,0,0) with zero scalars: digit 0
+    # gathers the table's identity entry, and adding the identity is exact
+    # under the complete formulas — padded lanes cannot perturb the sum.
+    L = scalars.shape[-1]
+    fL = points.x.shape[-1]
+    N = points.x.shape[-2]
+    batch = jnp.broadcast_shapes(points.x.shape[:-2], scalars.shape[:-2])
+    B = int(np.prod(batch)) if batch else 1
+    Bp = 1 if B <= 1 else 1 << (B - 1).bit_length()
+    Np = 1 if N <= 1 else 1 << (N - 1).bit_length()
+    k = jnp.broadcast_to(scalars, batch + (N, L)).reshape(B, N, L)
+    P = PointP(*(jnp.broadcast_to(q, batch + (N, fL)).reshape(B, N, fL) for q in points))
+    if Np != N:
+        k = jnp.concatenate([k, jnp.zeros((B, Np - N, L), k.dtype)], 1)
+        P = PointP(*(jnp.concatenate([q, jnp.zeros((B, Np - N, fL), q.dtype)], 1) for q in P))
+    if Bp != B:
+        k = jnp.concatenate([k, jnp.zeros((Bp - B, Np, L), k.dtype)], 0)
+        P = PointP(*(jnp.concatenate([q, jnp.zeros((Bp - B, Np, fL), q.dtype)], 0) for q in P))
+    out = fn(P, k)
+    return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
+
+
+def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP:
     nbits = cv.fr.bits
     table = build_tables(cv, points, c)
     digits = scalar_digits(scalars, c, nbits)  # [W, ..., N]
     batch = points.x.shape[:-2]
 
     def body(acc, dig):
-        for _ in range(c):
-            acc = cv.dbl(acc)
+        acc = jax.lax.fori_loop(0, c, lambda i, a: cv.dbl(a), acc)
         pts = _gather_points(table, dig)  # [..., N, L]
         s = cv.sum_points(pts, axis=pts.x.ndim - 2)
         return cv.add(acc, s), None
@@ -123,6 +149,22 @@ class FixedBaseTable:
             pts.y.reshape(shape + (-1,)),
             pts.z.reshape(shape + (-1,)),
         )
+        self._mul_jit = jax.jit(self.mul)
+        self.mul = self._mul_canon
+
+    def _mul_canon(self, scalars: jnp.ndarray) -> PointP:
+        """`mul` with the batch flattened + padded to a power of two, so all
+        callers share one compiled program per size bucket."""
+        L = scalars.shape[-1]
+        batch = scalars.shape[:-1]
+        B = int(np.prod(batch)) if batch else 1
+        Bp = 1 if B <= 1 else 1 << (B - 1).bit_length()
+        k = jnp.asarray(scalars).reshape(B, L)
+        if Bp != B:
+            k = jnp.concatenate([k, jnp.zeros((Bp - B, L), k.dtype)], 0)
+        out = self._mul_jit(k)
+        fL = out.x.shape[-1]
+        return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
 
     def mul(self, scalars: jnp.ndarray) -> PointP:
         """scalars: canonical limbs [..., L] -> PointP [..., L].
@@ -173,6 +215,23 @@ class FixedBaseMSM:
             pts.y.reshape(shape + (-1,)),
             pts.z.reshape(shape + (-1,)),
         )
+        self._msm_jit = jax.jit(self.msm)
+        self.msm = self._msm_canon
+
+    def _msm_canon(self, scalars: jnp.ndarray) -> PointP:
+        """`msm` with leading batch dims flattened + padded to a power of two
+        (the vector length n stays fixed — it is part of the commit key)."""
+        L = scalars.shape[-1]
+        n = scalars.shape[-2]
+        batch = scalars.shape[:-2]
+        B = int(np.prod(batch)) if batch else 1
+        Bp = 1 if B <= 1 else 1 << (B - 1).bit_length()
+        k = jnp.asarray(scalars).reshape(B, n, L)
+        if Bp != B:
+            k = jnp.concatenate([k, jnp.zeros((Bp - B, n, L), k.dtype)], 0)
+        out = self._msm_jit(k)
+        fL = out.x.shape[-1]
+        return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
 
     def msm(self, scalars: jnp.ndarray) -> PointP:
         """scalars: canonical limbs [..., n, L] -> PointP [..., L]."""

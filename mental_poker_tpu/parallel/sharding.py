@@ -1,0 +1,160 @@
+"""Multi-chip sharding for batched proving (SURVEY §2.3).
+
+The reference has NO parallelism (single-threaded Rust; SURVEY §2.3) — this
+module is the new capability. Two mesh axes:
+
+- ``dp`` (data parallel): independent decks/proofs. Pure SPMD — no cross-device
+  traffic except the final gather.
+- ``sp`` (sequence parallel): the deck axis (N = m*n cards) for large decks.
+  Elementwise card ops (mask/remask/permuted-gather) shard freely; deck-wide
+  MSMs compute per-shard partial sums and combine with an ``all_gather`` of the
+  (tiny) partial points followed by a local EC tree-sum — the EC analogue of a
+  ``psum``, riding ICI.
+
+All functions here are `shard_map`-based and jit-compatible; fixed-base tables
+are closed over as replicated constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..crypto.elgamal import Ciphertexts
+from ..ops.curve import Curve, PointP
+from ..ops import msm as msm_mod
+
+
+def make_mesh(n_dp: int | None = None, n_sp: int = 1, devices=None) -> Mesh:
+    """A (dp, sp) device mesh. Defaults: all devices on dp."""
+    devices = devices if devices is not None else jax.devices()
+    n_dp = n_dp if n_dp is not None else len(devices) // n_sp
+    assert n_dp * n_sp <= len(devices), (n_dp, n_sp, len(devices))
+    dev = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    return Mesh(dev, axis_names=("dp", "sp"))
+
+
+def _cipher_spec(spec) -> Ciphertexts:
+    return Ciphertexts(PointP(spec, spec, spec), PointP(spec, spec, spec))
+
+
+def shard_deck(mesh: Mesh, deck: Ciphertexts) -> Ciphertexts:
+    """Place a [B, N, L] deck batch with B over dp and N over sp."""
+    sh = NamedSharding(mesh, P("dp", "sp", None))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), deck)
+
+
+def remask_shuffled_step(cv: Curve, gen_table, pk_table):
+    """Build the jittable, mesh-sharded shuffle+remask device step.
+
+    Returned fn: (deck [B,N], pi [B,N] int32, rho [B,N,L]) -> shuffled deck.
+    The permuted gather is dp/sp-local when N is replicated on sp; with sp
+    sharding the gather crosses shards, so we all_gather the deck along sp
+    first (cards are small; ICI-bound, overlapping with compute).
+    """
+
+    def step(deck: Ciphertexts, pi: jnp.ndarray, rho: jnp.ndarray) -> Ciphertexts:
+        def permute(coord):
+            return jnp.take_along_axis(
+                coord, pi[..., None].astype(jnp.int32), axis=-2
+            )
+
+        permuted = jax.tree.map(permute, deck)
+        c0 = gen_table.mul(rho)
+        c1 = pk_table.mul(rho)
+        return Ciphertexts(
+            PointP(*(cv.add(permuted.c0, c0))),
+            PointP(*(cv.add(permuted.c1, c1))),
+        )
+
+    return step
+
+
+def sharded_remask_step(cv: Curve, gen_table, pk_table, mesh: Mesh):
+    """dp/sp-sharded version of `remask_shuffled_step`.
+
+    The deck is gathered along sp before the permuted gather (output card i
+    may come from any input shard), then each device remasks only its local
+    output shard — the heavy fixed-base muls stay fully sharded.
+    """
+    inner = remask_shuffled_step(cv, gen_table, pk_table)
+
+    def local(deck_sh: Ciphertexts, pi_sh, rho_sh):
+        # deck: [B_loc, N_loc] on each device -> full N locally (sp gather)
+        full = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, "sp", axis=1, tiled=True), deck_sh
+        )
+
+        def permute(coord):
+            return jnp.take_along_axis(
+                coord, pi_sh[..., None].astype(jnp.int32), axis=-2
+            )
+
+        permuted = jax.tree.map(permute, full)
+        c0 = gen_table.mul(rho_sh)
+        c1 = pk_table.mul(rho_sh)
+        return Ciphertexts(
+            PointP(*(cv.add(permuted.c0, c0))),
+            PointP(*(cv.add(permuted.c1, c1))),
+        )
+
+    spec_deck = _cipher_spec(P("dp", "sp", None))
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_deck, P("dp", "sp"), P("dp", "sp", None)),
+            out_specs=spec_deck,
+        )
+    )
+
+
+def sharded_deck_msm(cv: Curve, mesh: Mesh, window: int = 4):
+    """dp/sp-sharded ciphertext MSM: out[b] = sum_i k[b,i] * deck[b,i].
+
+    Each sp shard computes its partial MSM over local cards; partials are
+    all_gathered along sp (2 points per deck — tiny) and tree-summed locally.
+    Output is replicated along sp, sharded along dp.
+    """
+
+    def local(c0: PointP, c1: PointP, k):
+        p0 = msm_mod.msm(cv, c0, k, window)  # [B_loc, L]
+        p1 = msm_mod.msm(cv, c1, k, window)
+
+        def combine(Pt: PointP) -> PointP:
+            g = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, "sp", axis=0), Pt
+            )  # [n_sp, B_loc, L]
+            return cv.sum_points(PointP(*g), axis=0)
+
+        return combine(p0), combine(p1)
+
+    pt = P("dp", "sp", None)
+    out_pt = P("dp", None)
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PointP(pt, pt, pt), PointP(pt, pt, pt), P("dp", "sp", None)),
+            out_specs=(PointP(out_pt, out_pt, out_pt), PointP(out_pt, out_pt, out_pt)),
+        )
+    )
+
+
+def sharded_commit_step(ck, mesh: Mesh):
+    """dp-sharded Pedersen row commitments: vecs [B, m, n, L], rs [B, m, L]
+    -> PointP [B, m]. Rows replicated over sp (commit key is per-game fixed)."""
+
+    def local(vecs, rs):
+        return ck.commit(vecs, rs)
+
+    spec_in = P("dp", None, None, None)
+    spec_r = P("dp", None, None)
+    spec_out = PointP(P("dp", None, None), P("dp", None, None), P("dp", None, None))
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=(spec_in, spec_r), out_specs=spec_out)
+    )
