@@ -107,6 +107,17 @@ class Curve:
         f = self.fq
         return PointP(f.zeros(batch_shape), f.ones(batch_shape), f.zeros(batch_shape))
 
+    def identity_like(self, ref_x) -> PointP:
+        """Identity point with batch shape `ref_x.shape[:-1]`, *derived from*
+        `ref_x` (uint32[..., L] limbs) so it inherits its shard_map
+        varying-axes type (vma). A constant `identity()` used as a `lax.scan`
+        carry mismatches a body output that varies over mesh axes; xor/or on
+        the operand keeps the dependency while XLA folds it to a constant.
+        """
+        z = ref_x ^ ref_x
+        one = jnp.asarray(self.fq.one_mont).astype(ref_x.dtype)
+        return PointP(z, z | one, z)
+
     def generator(self, batch_shape=()) -> PointP:
         f = self.fq
         gx = jnp.broadcast_to(jnp.asarray(self.gen_affine[0]), batch_shape + (f.L,))
@@ -293,21 +304,21 @@ class Curve:
             )
             return self.add(acc, ent), None
 
-        acc, _ = jax.lax.scan(body, self.identity(batch), digits)
+        acc, _ = jax.lax.scan(body, self.identity_like(P.x), digits)
         return acc
 
     def multiples_table(self, P: PointP, c: int) -> PointP:
         """[identity, P, 2P, ..., (2^c - 1)P] stacked on axis -2, built with a
         scan so point-add is traced ONCE (keeps compile time flat)."""
-        batch = P.x.shape[:-1]
-
         def body(acc, _):
             nxt = self.add(acc, P)
             return nxt, nxt
 
-        _, rest = jax.lax.scan(body, self.identity(batch), None, length=(1 << c) - 1)
+        _, rest = jax.lax.scan(
+            body, self.identity_like(P.x), None, length=(1 << c) - 1
+        )
         # rest coords: [2^c - 1, ..., L]; prepend identity and move to axis -2
-        ident = self.identity(batch)
+        ident = self.identity_like(P.x)
         table = PointP(
             *(
                 jnp.moveaxis(jnp.concatenate([i0[None], r], axis=0), 0, -2)
@@ -337,10 +348,10 @@ class Curve:
         rest = x.shape[1:]
         if G * chunk != n:
             padn = G * chunk - n
-            ident = self.identity((padn,) + rest[:-1])
-            x = jnp.concatenate([x, ident.x], 0)
-            y = jnp.concatenate([y, ident.y], 0)
-            z = jnp.concatenate([z, ident.z], 0)
+            ident = self.identity_like(x[:1])  # derived: keeps vma (see above)
+            x = jnp.concatenate([x] + [ident.x] * padn, 0)
+            y = jnp.concatenate([y] + [ident.y] * padn, 0)
+            z = jnp.concatenate([z] + [ident.z] * padn, 0)
         Pt = PointP(
             x.reshape((G, chunk) + rest),
             y.reshape((G, chunk) + rest),
@@ -350,9 +361,7 @@ class Curve:
             def body(acc, row):
                 return self.add(acc, PointP(*row)), None
 
-            acc, _ = jax.lax.scan(
-                body, self.identity((chunk,) + rest[:-1]), tuple(Pt)
-            )
+            acc, _ = jax.lax.scan(body, self.identity_like(Pt.x[0]), tuple(Pt))
         else:
             acc = PointP(Pt.x[0], Pt.y[0], Pt.z[0])
         # tree-reduce the chunk (power of two)

@@ -107,7 +107,6 @@ def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP
     nbits = cv.fr.bits
     table = build_tables(cv, points, c)
     digits = scalar_digits(scalars, c, nbits)  # [W, ..., N]
-    batch = points.x.shape[:-2]
 
     def body(acc, dig):
         acc = jax.lax.fori_loop(0, c, lambda i, a: cv.dbl(a), acc)
@@ -116,7 +115,9 @@ def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP
         return cv.add(acc, s), None
 
     # scan MSB window first
-    acc, _ = jax.lax.scan(body, cv.identity(batch), jnp.flip(digits, axis=0))
+    acc, _ = jax.lax.scan(
+        body, cv.identity_like(points.x[..., 0, :]), jnp.flip(digits, axis=0)
+    )
     return acc
 
 

@@ -141,6 +141,11 @@ def sharded_deck_msm(cv: Curve, mesh: Mesh, window: int = 4):
             mesh=mesh,
             in_specs=(PointP(pt, pt, pt), PointP(pt, pt, pt), P("dp", "sp", None)),
             out_specs=(PointP(out_pt, out_pt, out_pt), PointP(out_pt, out_pt, out_pt)),
+            # The combine replicates along sp by construction (all_gather +
+            # identical local EC tree-sum on every shard), but EC limb addition
+            # is not a collective the vma checker can recognize as a reduction,
+            # so replication cannot be statically inferred — disable the check.
+            check_vma=False,
         )
     )
 
