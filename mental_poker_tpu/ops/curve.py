@@ -327,14 +327,16 @@ class Curve:
         )
         return table
 
-    def sum_points(self, P: PointP, axis: int = 0, chunk: int = 8) -> PointP:
+    def sum_points(self, P: PointP, axis: int = 0, chunk: int = 0) -> PointP:
         """EC sum reduction along a batch axis.
 
-        Mixed scan+tree scheme: pad with the identity to a multiple of a
-        power-of-two `chunk`, scan-accumulate the chunks (point-add traced
-        ONCE — keeps compile time flat), then tree-reduce the final chunk
-        (log2(chunk) adds). The identity padding is exact under the complete
-        formulas.
+        Pure log-depth halving tree: pad with the identity to the next power
+        of two, then repeatedly add the two halves — log2(n) *wide* point
+        additions total. Depth (not FLOPs) dominates wall-clock for the
+        protocol's MSM reductions, and each halving traces the add graph
+        once, so compile time stays ~log2(n) x one add. The identity padding
+        is exact under the complete formulas. (`chunk` is accepted for
+        call-site compatibility and ignored.)
         """
         x, y, z = P
         if axis != 0:
@@ -342,30 +344,15 @@ class Curve:
             y = jnp.moveaxis(y, axis, 0)
             z = jnp.moveaxis(z, axis, 0)
         n = x.shape[0]
-        while chunk > max(n, 1):
-            chunk //= 2
-        G = -(-n // chunk)
-        rest = x.shape[1:]
-        if G * chunk != n:
-            padn = G * chunk - n
+        npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        if npow != n:
+            padn = npow - n
             ident = self.identity_like(x[:1])  # derived: keeps vma (see above)
-            x = jnp.concatenate([x] + [ident.x] * padn, 0)
-            y = jnp.concatenate([y] + [ident.y] * padn, 0)
-            z = jnp.concatenate([z] + [ident.z] * padn, 0)
-        Pt = PointP(
-            x.reshape((G, chunk) + rest),
-            y.reshape((G, chunk) + rest),
-            z.reshape((G, chunk) + rest),
-        )
-        if G > 1:
-            def body(acc, row):
-                return self.add(acc, PointP(*row)), None
-
-            acc, _ = jax.lax.scan(body, self.identity_like(Pt.x[0]), tuple(Pt))
-        else:
-            acc = PointP(Pt.x[0], Pt.y[0], Pt.z[0])
-        # tree-reduce the chunk (power of two)
-        m = chunk
+            x = jnp.concatenate([x, jnp.broadcast_to(ident.x, (padn,) + x.shape[1:])], 0)
+            y = jnp.concatenate([y, jnp.broadcast_to(ident.y, (padn,) + y.shape[1:])], 0)
+            z = jnp.concatenate([z, jnp.broadcast_to(ident.z, (padn,) + z.shape[1:])], 0)
+        acc = PointP(x, y, z)
+        m = npow
         while m > 1:
             h = m // 2
             acc = self.add(

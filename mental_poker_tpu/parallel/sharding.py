@@ -119,35 +119,54 @@ def sharded_deck_msm(cv: Curve, mesh: Mesh, window: int = 4):
     Each sp shard computes its partial MSM over local cards; partials are
     all_gathered along sp (2 points per deck — tiny) and tree-summed locally.
     Output is replicated along sp, sharded along dp.
+
+    The per-shard MSM runs in a fully vma-checked shard_map; only the tiny
+    EC combine (all_gather + identical local tree-sum, which replicates along
+    sp by construction but is not a reduction the varying-axes checker can
+    recognize) runs with `check_vma=False`, so future edits to the MSM body
+    keep full static replication checking.
     """
 
-    def local(c0: PointP, c1: PointP, k):
+    def local_msm(c0: PointP, c1: PointP, k):
         p0 = msm_mod.msm(cv, c0, k, window)  # [B_loc, L]
         p1 = msm_mod.msm(cv, c1, k, window)
+        # add a leading sp-partial axis of size 1 so out_specs can shard it
+        return (
+            PointP(*(q[None] for q in p0)),
+            PointP(*(q[None] for q in p1)),
+        )
 
+    def local_combine(p0: PointP, p1: PointP):
         def combine(Pt: PointP) -> PointP:
             g = jax.tree.map(
-                lambda a: jax.lax.all_gather(a, "sp", axis=0), Pt
+                lambda a: jax.lax.all_gather(a, "sp", axis=0, tiled=True), Pt
             )  # [n_sp, B_loc, L]
             return cv.sum_points(PointP(*g), axis=0)
 
         return combine(p0), combine(p1)
 
     pt = P("dp", "sp", None)
+    part = P("sp", "dp", None)  # [1 per sp shard, B_loc, L]
     out_pt = P("dp", None)
-    return jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(PointP(pt, pt, pt), PointP(pt, pt, pt), P("dp", "sp", None)),
-            out_specs=(PointP(out_pt, out_pt, out_pt), PointP(out_pt, out_pt, out_pt)),
-            # The combine replicates along sp by construction (all_gather +
-            # identical local EC tree-sum on every shard), but EC limb addition
-            # is not a collective the vma checker can recognize as a reduction,
-            # so replication cannot be statically inferred — disable the check.
-            check_vma=False,
-        )
+    msm_sharded = jax.shard_map(
+        local_msm,
+        mesh=mesh,
+        in_specs=(PointP(pt, pt, pt), PointP(pt, pt, pt), P("dp", "sp", None)),
+        out_specs=(PointP(part, part, part), PointP(part, part, part)),
     )
+    combine_sharded = jax.shard_map(
+        local_combine,
+        mesh=mesh,
+        in_specs=(PointP(part, part, part), PointP(part, part, part)),
+        out_specs=(PointP(out_pt, out_pt, out_pt), PointP(out_pt, out_pt, out_pt)),
+        check_vma=False,  # scoped: combine only (see docstring)
+    )
+
+    def run(c0: PointP, c1: PointP, k):
+        p0, p1 = msm_sharded(c0, c1, k)
+        return combine_sharded(p0, p1)
+
+    return jax.jit(run)
 
 
 def sharded_commit_step(ck, mesh: Mesh):
