@@ -121,11 +121,105 @@ def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP
     return acc
 
 
-class FixedBaseTable:
-    """Precomputed windowed table for a fixed base point.
+_BUILD_CACHE: dict = {}
 
-    coords [W, 2^c, L]; entry [w, d] = d * 2^(c*w) * B. Scalar multiplication
-    is then a gather + (W-1) adds with no doublings.
+
+def build_window_tables(cv: Curve, bases: PointP, c: int = 4) -> PointP:
+    """Full windowed tables for a batch of fixed bases, built ON DEVICE.
+
+    bases: PointP [n, L] -> PointP [n, W, 2^c, L] with entry
+    [i, w, d] = d * 2^(c*w) * bases[i].
+
+    Device construction (vs the round-1 host Python loops, ~0.5 ms per EC
+    add): row 0 is a scan-built multiples table; each later window row is the
+    previous row doubled c times — all rows over the full [n, 2^c] width.
+    Jitted with the bases as an ARGUMENT, so per-game random bases never get
+    baked into the program as constants: one compiled program per (curve, n)
+    serves every game/session via the persistent compile cache.
+    """
+    key = (id(cv), c)
+    fn = _BUILD_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda b: _build_window_tables_impl(cv, b, c))
+        _BUILD_CACHE[key] = fn
+    return fn(bases)
+
+
+def _build_window_tables_impl(cv: Curve, bases: PointP, c: int) -> PointP:
+    nbits = cv.fr.bits
+    W = -(-nbits // c)
+    row0 = cv.multiples_table(bases, c)  # [n, 2^c, L]
+
+    def body(row, _):
+        nxt = row
+        for _ in range(c):
+            nxt = cv.dbl(nxt)
+        return nxt, row
+
+    _, rows = jax.lax.scan(body, row0, None, length=W)  # [W, n, 2^c, L]
+    return PointP(*(jnp.moveaxis(q, 0, 1) for q in rows))  # [n, W, 2^c, L]
+
+
+_FIXED_MUL_CACHE: dict = {}
+_FIXED_MSM_CACHE: dict = {}
+
+
+def fixed_mul(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+    """scalars [..., L] * the base behind `table` ([W, 2^c, L] or
+    [1, W, 2^c, L]): one flat gather of W window entries + a log-depth tree
+    sum — W-1 point additions, no doublings. Jittable; table is an argument
+    (see `build_window_tables`)."""
+    if table.x.ndim == 4:
+        table = PointP(*(q[0] for q in table))
+    nbits = cv.fr.bits
+    W = -(-nbits // c)
+    T = 1 << c
+    digits = scalar_digits(scalars, c, nbits)  # [W, ...]
+    digits = jnp.moveaxis(digits, 0, -1)  # [..., W]
+    batch = scalars.shape[:-1]
+    flat_idx = jnp.arange(W) * T + digits  # [..., W]
+    L = table.x.shape[-1]
+
+    def g(coord):
+        flat = coord.reshape(-1, L)
+        return flat[flat_idx.reshape(-1)].reshape(batch + (W, L))
+
+    pts = PointP(g(table.x), g(table.y), g(table.z))
+    return cv.sum_points(pts, axis=pts.x.ndim - 2)
+
+
+def fixed_msm(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+    """Fixed-base MSM: sum_i scalars[..., i, :] * bases[i] for a batch of
+    bases' tables [n, W, 2^c, L]. Gather n*W entries, one log-depth tree sum.
+    Jittable; table is an argument."""
+    nbits = cv.fr.bits
+    W = -(-nbits // c)
+    T = 1 << c
+    n = table.x.shape[0]
+    batch = scalars.shape[:-2]
+    digits = scalar_digits(scalars, c, nbits)  # [W, ..., n]
+    digits = jnp.moveaxis(digits, 0, -1)  # [..., n, W]
+    flat_idx = (
+        jnp.arange(n)[:, None] * (W * T) + jnp.arange(W)[None, :] * T + digits
+    )  # [..., n, W]
+    L = table.x.shape[-1]
+
+    def g(coord):
+        flat = coord.reshape(-1, L)
+        return flat[flat_idx.reshape(-1)].reshape(batch + (n * W, L))
+
+    pts = PointP(g(table.x), g(table.y), g(table.z))
+    return cv.sum_points(pts, axis=pts.x.ndim - 2)
+
+
+class FixedBaseTable:
+    """Precomputed windowed table for one fixed base point.
+
+    `table`: PointP [W, 2^c, L]; entry [w, d] = d * 2^(c*w) * B. Built on
+    device (`build_window_tables`); `mul` dispatches to the shared jitted
+    `fixed_mul` program with the table passed as an argument, so every
+    FixedBaseTable instance (any game, any session) shares one compiled
+    program per batch-size bucket.
     """
 
     def __init__(self, cv: Curve, host_point, c: int = 4):
@@ -133,29 +227,22 @@ class FixedBaseTable:
         self.c = c
         self.nbits = cv.fr.bits
         self.W = -(-self.nbits // c)
-        host = cv.host
-        rows = []
-        base = host_point
-        for _ in range(self.W):
-            row = [host.identity]
-            for d in range(1, 1 << c):
-                row.append(host.add(row[-1], base))
-            rows.append(row)
-            base = host.mul_unbounded(1 << c, base)
-        flat = [p for row in rows for p in row]
-        pts = cv.from_host_points(flat)  # [W*2^c, L]
-        shape = (self.W, 1 << c)
-        self.table = PointP(
-            pts.x.reshape(shape + (-1,)),
-            pts.y.reshape(shape + (-1,)),
-            pts.z.reshape(shape + (-1,)),
-        )
-        self._mul_jit = jax.jit(self.mul)
-        self.mul = self._mul_canon
+        self.host_point = host_point
+        t = build_window_tables(cv, cv.from_host_points([host_point]), c)
+        self.table = PointP(*(q[0] for q in t))  # [W, 2^c, L]
 
-    def _mul_canon(self, scalars: jnp.ndarray) -> PointP:
-        """`mul` with the batch flattened + padded to a power of two, so all
-        callers share one compiled program per size bucket."""
+    def mul(self, scalars: jnp.ndarray) -> PointP:
+        """scalars: canonical limbs [..., L] -> PointP [..., L]. Works both
+        eagerly (canonicalized batch for compile-cache reuse) and under an
+        enclosing jit trace (plain call)."""
+        cv = self.cv
+        key = (id(cv), self.c)
+        fn = _FIXED_MUL_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(lambda t, k: fixed_mul(cv, t, k, self.c))
+            _FIXED_MUL_CACHE[key] = fn
+        if isinstance(scalars, jax.core.Tracer):
+            return fixed_mul(cv, self.table, scalars, self.c)
         L = scalars.shape[-1]
         batch = scalars.shape[:-1]
         B = int(np.prod(batch)) if batch else 1
@@ -163,35 +250,15 @@ class FixedBaseTable:
         k = jnp.asarray(scalars).reshape(B, L)
         if Bp != B:
             k = jnp.concatenate([k, jnp.zeros((Bp - B, L), k.dtype)], 0)
-        out = self._mul_jit(k)
+        out = fn(self.table, k)
         fL = out.x.shape[-1]
         return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
-
-    def mul(self, scalars: jnp.ndarray) -> PointP:
-        """scalars: canonical limbs [..., L] -> PointP [..., L].
-
-        One flat gather of all W window entries, then a log-depth tree sum —
-        W-1 point additions total, expressed as ~log2(W) batched adds.
-        """
-        digits = scalar_digits(scalars, self.c, self.nbits)  # [W, ...]
-        digits = jnp.moveaxis(digits, 0, -1)  # [..., W]
-        cv = self.cv
-        batch = scalars.shape[:-1]
-        W, T = self.W, 1 << self.c
-        flat_idx = jnp.arange(W) * T + digits  # [..., W]
-        L = self.table.x.shape[-1]
-
-        def g(coord):
-            flat = coord.reshape(-1, L)
-            return flat[flat_idx.reshape(-1)].reshape(batch + (W, L))
-
-        pts = PointP(g(self.table.x), g(self.table.y), g(self.table.z))
-        return cv.sum_points(pts, axis=pts.x.ndim - 2)
 
 
 class FixedBaseMSM:
     """Fixed-base MSM over a vector of fixed bases (e.g. a Pedersen commit
-    key): result = sum_i scalars[..., i] * bases[i]."""
+    key): result = sum_i scalars[..., i] * bases[i]. Tables are built on
+    device and passed as jit arguments (see `FixedBaseTable`)."""
 
     def __init__(self, cv: Curve, host_points, c: int = 4):
         self.cv = cv
@@ -199,29 +266,21 @@ class FixedBaseMSM:
         self.nbits = cv.fr.bits
         self.W = -(-self.nbits // c)
         self.n = len(host_points)
-        host = cv.host
-        flat = []
-        for hp in host_points:
-            base = hp
-            for _ in range(self.W):
-                row = [host.identity]
-                for d in range(1, 1 << c):
-                    row.append(host.add(row[-1], base))
-                flat.extend(row)
-                base = host.mul_unbounded(1 << c, base)
-        pts = cv.from_host_points(flat)
-        shape = (self.n, self.W, 1 << c)
-        self.table = PointP(
-            pts.x.reshape(shape + (-1,)),
-            pts.y.reshape(shape + (-1,)),
-            pts.z.reshape(shape + (-1,)),
-        )
-        self._msm_jit = jax.jit(self.msm)
-        self.msm = self._msm_canon
+        self.host_points = list(host_points)
+        self.table = build_window_tables(
+            cv, cv.from_host_points(host_points), c
+        )  # [n, W, 2^c, L]
 
-    def _msm_canon(self, scalars: jnp.ndarray) -> PointP:
-        """`msm` with leading batch dims flattened + padded to a power of two
-        (the vector length n stays fixed — it is part of the commit key)."""
+    def msm(self, scalars: jnp.ndarray) -> PointP:
+        """scalars: canonical limbs [..., n, L] -> PointP [..., L]."""
+        cv = self.cv
+        key = (id(cv), self.c)
+        fn = _FIXED_MSM_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(lambda t, k: fixed_msm(cv, t, k, self.c))
+            _FIXED_MSM_CACHE[key] = fn
+        if isinstance(scalars, jax.core.Tracer):
+            return fixed_msm(cv, self.table, scalars, self.c)
         L = scalars.shape[-1]
         n = scalars.shape[-2]
         batch = scalars.shape[:-2]
@@ -230,27 +289,6 @@ class FixedBaseMSM:
         k = jnp.asarray(scalars).reshape(B, n, L)
         if Bp != B:
             k = jnp.concatenate([k, jnp.zeros((Bp - B, n, L), k.dtype)], 0)
-        out = self._msm_jit(k)
+        out = fn(self.table, k)
         fL = out.x.shape[-1]
         return PointP(*(q[:B].reshape(batch + (fL,)) for q in out))
-
-    def msm(self, scalars: jnp.ndarray) -> PointP:
-        """scalars: canonical limbs [..., n, L] -> PointP [..., L]."""
-        cv = self.cv
-        n, W, T = self.n, self.W, 1 << self.c
-        batch = scalars.shape[:-2]
-        digits = scalar_digits(scalars, self.c, self.nbits)  # [W, ..., n]
-        digits = jnp.moveaxis(digits, 0, -1)  # [..., n, W]
-        flat_idx = (
-            jnp.arange(n)[:, None] * (W * T)
-            + jnp.arange(W)[None, :] * T
-            + digits
-        )  # [..., n, W]
-        L = self.table.x.shape[-1]
-
-        def g(coord):
-            flat = coord.reshape(-1, L)
-            return flat[flat_idx.reshape(-1)].reshape(batch + (n * W, L))
-
-        pts = PointP(g(self.table.x), g(self.table.y), g(self.table.z))
-        return cv.sum_points(pts, axis=pts.x.ndim - 2)
