@@ -177,11 +177,10 @@ def blake2s(data_u8: jnp.ndarray) -> jnp.ndarray:
     if nblocks == 1:
         return _blake2s_compress(h, m_blocks[..., 0, :], t=nbytes, last=True)
 
-    # Static per-block t/last; scan would force dynamic t — for transcript
-    # absorbs nblocks is modest (statement absorb ~100 blocks) and the
-    # unrolled graph is ~1k ops/block. Use scan for the uniform middle
-    # blocks to keep trace size flat when nblocks is large.
-    if nblocks <= 8:
+    # Static per-block t/last; scan would force dynamic t — use scan for the
+    # uniform middle blocks whenever there is more than one of them, so the
+    # ~700-op compression body is traced once per absorb site.
+    if nblocks <= 2:
         for i in range(nblocks - 1):
             h = _blake2s_compress(h, m_blocks[..., i, :], t=(i + 1) * 64, last=False)
     else:
@@ -287,15 +286,19 @@ def chacha20_block(key_words: jnp.ndarray, counter: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def chacha20_words(key_words: jnp.ndarray, start_word: jnp.ndarray, nwords: int):
+def chacha20_words(key_words: jnp.ndarray, start_word: jnp.ndarray, nwords: int, align: int = 1):
     """`nwords` (static) consecutive keystream words starting at stream
     position `start_word` (uint32[...], word-granular): uint32[..., nwords].
 
     Computes ceil-covering blocks and gathers — recomputing a partially
     consumed block is cheaper than carrying buffer state through jit.
+    `align`: static guarantee that start_word % align == 0 (the transcript's
+    field draws are nwords-aligned), which tightens the block count — e.g.
+    8-word draws at 8-word alignment need ONE block, not two.
     """
     batch = key_words.shape[:-1]
-    nblocks = (nwords + 15) // 16 + 1  # +1 covers unaligned start
+    max_off = 0 if align >= 16 else (16 - align if 16 % align == 0 and align > 1 else 15)
+    nblocks = (max_off + nwords + 15) // 16
     first_block = (start_word // 16).astype(jnp.uint32)
     offs = (start_word % 16).astype(jnp.int32)
     blocks = []

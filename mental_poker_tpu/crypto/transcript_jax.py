@@ -118,8 +118,10 @@ def sample_field(state: DTState, fld: Field):
     p_limbs = jnp.asarray(fld.p_limbs)
     bshape = state.widx.shape
 
+    align = nw if 16 % nw == 0 or nw % 16 == 0 else 1
+
     def draw(widx):
-        words = chacha20_words(state.seed, widx, nw)
+        words = chacha20_words(state.seed, widx, nw, align=align)
         words = words.at[..., nw - 1].set(words[..., nw - 1] & hi_mask)
         limbs = _words_to_limbs16(words, L)
         ok = fld.canonical_lt(limbs, jnp.broadcast_to(p_limbs, limbs.shape))

@@ -330,13 +330,19 @@ class Curve:
     def sum_points(self, P: PointP, axis: int = 0, chunk: int = 0) -> PointP:
         """EC sum reduction along a batch axis.
 
-        Pure log-depth halving tree: pad with the identity to the next power
-        of two, then repeatedly add the two halves — log2(n) *wide* point
-        additions total. Depth (not FLOPs) dominates wall-clock for the
-        protocol's MSM reductions, and each halving traces the add graph
-        once, so compile time stays ~log2(n) x one add. The identity padding
-        is exact under the complete formulas. (`chunk` is accepted for
-        call-site compatibility and ignored.)
+        Two-stage, trace-minimal scheme (the traced point-add graph is ~1.2k
+        ops, so COMPILE time scales with how many adds get traced, while
+        RUN time scales with sequential depth):
+
+        1. scan-accumulate rows of width `chunk` (ONE traced add; depth
+           ceil(n/chunk));
+        2. halve the final chunk with a shape-stable `lax.scan` — each step
+           adds the two halves and pads back with the identity, so log2(chunk)
+           steps reuse ONE traced add.
+
+        Identity padding is exact under the complete formulas. Total traced
+        adds: 2 (vs log2(n) for an unrolled tree, vs n/8 runtime depth for
+        round 1's chunk-scan).
         """
         x, y, z = P
         if axis != 0:
@@ -344,22 +350,53 @@ class Curve:
             y = jnp.moveaxis(y, axis, 0)
             z = jnp.moveaxis(z, axis, 0)
         n = x.shape[0]
-        npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
-        if npow != n:
-            padn = npow - n
+        if chunk == 0:
+            # adaptive: balance scan depth (n/C) against halving-stage waste
+            # (C/2 * log2(C) padded lanes) — C ~ sqrt(2n) is near-optimal
+            chunk = 1 << max(4, int(np.ceil(np.log2(max(2 * n, 1) ** 0.5))))
+        C = 1 if n <= 1 else min(1 << (n - 1).bit_length(), chunk)
+        G = -(-n // C)
+        if G * C != n:
+            padn = G * C - n
             ident = self.identity_like(x[:1])  # derived: keeps vma (see above)
             x = jnp.concatenate([x, jnp.broadcast_to(ident.x, (padn,) + x.shape[1:])], 0)
             y = jnp.concatenate([y, jnp.broadcast_to(ident.y, (padn,) + y.shape[1:])], 0)
             z = jnp.concatenate([z, jnp.broadcast_to(ident.z, (padn,) + z.shape[1:])], 0)
-        acc = PointP(x, y, z)
-        m = npow
-        while m > 1:
-            h = m // 2
-            acc = self.add(
-                PointP(acc.x[:h], acc.y[:h], acc.z[:h]),
-                PointP(acc.x[h:m], acc.y[h:m], acc.z[h:m]),
-            )
-            m = h
+        rest = x.shape[1:]
+        Pt = PointP(
+            x.reshape((G, C) + rest), y.reshape((G, C) + rest), z.reshape((G, C) + rest)
+        )
+        if G > 1:
+            def body(acc, row):
+                return self.add(acc, PointP(*row)), None
+
+            acc, _ = jax.lax.scan(body, self.identity_like(Pt.x[0]), tuple(Pt))
+        else:
+            acc = PointP(Pt.x[0], Pt.y[0], Pt.z[0])
+        # Shape-stable halving scan: pair adjacent entries (stride 2), pad the
+        # tail back to C with the identity. Valid partial sums stay packed at
+        # the front and identity pairs stay identity, so log2(C) iterations of
+        # ONE traced add reduce the chunk exactly.
+        steps = (C - 1).bit_length()  # log2(C)
+        if steps:
+            h = C // 2
+
+            def halve(acc_t, _):
+                acc_p = PointP(*acc_t)
+                s = self.add(
+                    PointP(acc_p.x[0::2], acc_p.y[0::2], acc_p.z[0::2]),
+                    PointP(acc_p.x[1::2], acc_p.y[1::2], acc_p.z[1::2]),
+                )
+                ident = self.identity_like(s.x)
+                out = PointP(
+                    jnp.concatenate([s.x, ident.x], 0),
+                    jnp.concatenate([s.y, ident.y], 0),
+                    jnp.concatenate([s.z, ident.z], 0),
+                )
+                return tuple(out), None
+
+            acc_t, _ = jax.lax.scan(halve, tuple(acc), None, length=steps)
+            acc = PointP(*acc_t)
         return PointP(acc.x[0], acc.y[0], acc.z[0])
 
     # ------------------------------------------------------------ to affine

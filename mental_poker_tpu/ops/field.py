@@ -279,6 +279,19 @@ class Field:
         """a^-1 mod p via Fermat (a^(p-2)); maps 0 -> 0."""
         return self.pow_const(a, self.p - 2)
 
+    def _prefix_prod_scan(self, a):
+        """Inclusive prefix product along axis 0 via `lax.scan` (ONE traced
+        mont_mul; depth B). Chosen over associative_scan for trace size —
+        runtime depth is irrelevant at the batch sizes this serves."""
+
+        def body(acc, row):
+            nxt = self.mont_mul(acc, row)
+            return nxt, nxt
+
+        init = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape[1:])
+        _, pref = jax.lax.scan(body, init, a)
+        return pref
+
     def batch_inv(self, a, axis: int = -2):
         """Batched inversion with one field inversion (Montgomery's trick).
 
@@ -288,12 +301,14 @@ class Field:
             a = jnp.moveaxis(a, axis, -2)
         one = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
         safe = jnp.where(self.is_zero(a)[..., None], one, a)
-        prefix = jax.lax.associative_scan(self.mont_mul, safe, axis=-2)
+        moved = jnp.moveaxis(safe, -2, 0)  # [B, ..., L]
+        prefix = jnp.moveaxis(self._prefix_prod_scan(moved), 0, -2)
         total_inv = self.inv(prefix[..., -1, :])
         # suffix[i] = a[i+1]*...*a[B-1]; inv(a[i]) = prefix[i-1]*suffix[i]*total_inv
-        rev = jnp.flip(safe, axis=-2)
-        suffix = jnp.flip(jax.lax.associative_scan(self.mont_mul, rev, axis=-2), axis=-2)
-        B = a.shape[-2]
+        rev = jnp.flip(moved, axis=0)
+        suffix = jnp.flip(
+            jnp.moveaxis(self._prefix_prod_scan(rev), 0, -2), axis=-2
+        )
         pre_shift = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape[:-2] + (1, self.L)), prefix[..., :-1, :]],
             axis=-2,
@@ -311,6 +326,76 @@ class Field:
     def select(self, cond, a, b):
         """Elementwise (over batch dims) select: cond ? a : b."""
         return jnp.where(cond[..., None], a, b)
+
+    # ------------------------------------------------- vector algebra (mont)
+    def sum_mod(self, a, axis: int = -2):
+        """Modular sum along an axis: log-depth halving tree of `add`."""
+        a = jnp.moveaxis(a, axis, 0) if axis not in (0,) else a
+        n = a.shape[0]
+        if n == 0:
+            return jnp.broadcast_to(jnp.zeros((self.L,), jnp.uint32), a.shape[1:])
+        npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        if npow != n:
+            a = jnp.concatenate(
+                [a, jnp.zeros((npow - n,) + a.shape[1:], a.dtype)], axis=0
+            )
+        m = npow
+        while m > 1:
+            h = m // 2
+            a = self.add(a[:h], a[h:m])
+            m = h
+        return a[0]
+
+    def prod_mod(self, a, axis: int = -2):
+        """Modular product (Montgomery form) along an axis: halving tree of
+        `mont_mul`, identity padding = 1 in Montgomery form."""
+        a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        one = jnp.asarray(self.one_mont)
+        if n == 0:
+            return jnp.broadcast_to(one, a.shape[1:])
+        npow = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        if npow != n:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(one, (npow - n,) + a.shape[1:])], axis=0
+            )
+        m = npow
+        while m > 1:
+            h = m // 2
+            a = self.mont_mul(a[:h], a[h:m])
+            m = h
+        return a[0]
+
+    def powers(self, x, k: int, start: int = 1):
+        """[x^start, ..., x^(start+k-1)] (Montgomery form), stacked on a new
+        axis -2. Scan-based prefix products (ONE traced mont_mul)."""
+        xs = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (k, self.L))
+        moved = jnp.moveaxis(xs, -2, 0)
+        pref = jnp.moveaxis(self._prefix_prod_scan(moved), 0, -2)  # x^1..x^k
+        if start == 1:
+            return pref
+        if start == 0:
+            one = jnp.broadcast_to(
+                jnp.asarray(self.one_mont), x.shape[:-1] + (1, self.L)
+            )
+            return jnp.concatenate([one, pref[..., : k - 1, :]], axis=-2)
+        shift = self.pow_const(x, start - 1)
+        return self.mont_mul(pref, shift[..., None, :])
+
+    def dot_mod(self, a, b, axis: int = -2):
+        """<a, b> mod p (both Montgomery form) along an axis."""
+        return self.sum_mod(self.mont_mul(a, b), axis=axis)
+
+    def small_int_limbs(self, values) -> np.ndarray:
+        """Static small non-negative ints -> canonical uint32[..., L] limbs
+        (host, deterministic constants)."""
+        vals = np.asarray(values, dtype=np.int64)
+        out = np.zeros(vals.shape + (self.L,), np.uint32)
+        rem = vals.astype(np.uint64)
+        for i in range(self.L):
+            out[..., i] = (rem & np.uint64(MASK)).astype(np.uint32)
+            rem = rem >> np.uint64(LIMB_BITS)
+        return out
 
     # ------------------------------------------------- canonical-form helpers
     def canonical_lt(self, a, b):

@@ -25,6 +25,8 @@ Scalars enter in **canonical** (non-Montgomery) limb form, [..., L] uint32.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,7 +126,13 @@ def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP
 _BUILD_CACHE: dict = {}
 
 
-def build_window_tables(cv: Curve, bases: PointP, c: int = 4) -> PointP:
+# Fixed-base window width: 8 halves the per-multiply gather count (W=32 vs
+# 63) at 16x the one-time per-game table-build work — the right trade on TPU.
+# CPU CI keeps 4 so per-test game setups stay cheap.
+DEFAULT_FIXED_WINDOW = int(os.environ.get("MPTPU_FIXED_WINDOW", "4"))
+
+
+def build_window_tables(cv: Curve, bases: PointP, c: int | None = None) -> PointP:
     """Full windowed tables for a batch of fixed bases, built ON DEVICE.
 
     bases: PointP [n, L] -> PointP [n, W, 2^c, L] with entry
@@ -137,6 +145,7 @@ def build_window_tables(cv: Curve, bases: PointP, c: int = 4) -> PointP:
     baked into the program as constants: one compiled program per (curve, n)
     serves every game/session via the persistent compile cache.
     """
+    c = DEFAULT_FIXED_WINDOW if c is None else c
     key = (id(cv), c)
     fn = _BUILD_CACHE.get(key)
     if fn is None:
@@ -164,16 +173,18 @@ _FIXED_MUL_CACHE: dict = {}
 _FIXED_MSM_CACHE: dict = {}
 
 
-def fixed_mul(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+def fixed_mul(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int | None = None) -> PointP:
     """scalars [..., L] * the base behind `table` ([W, 2^c, L] or
-    [1, W, 2^c, L]): one flat gather of W window entries + a log-depth tree
-    sum — W-1 point additions, no doublings. Jittable; table is an argument
-    (see `build_window_tables`)."""
+    [1, W, 2^c, L]): one flat gather of W window entries + a scan tree sum —
+    W-1 point additions, no doublings. Jittable; table is an argument
+    (see `build_window_tables`); the window width is derived from its shape."""
     if table.x.ndim == 4:
         table = PointP(*(q[0] for q in table))
+    T = table.x.shape[-2]
+    c = (T - 1).bit_length()
     nbits = cv.fr.bits
     W = -(-nbits // c)
-    T = 1 << c
+    assert W == table.x.shape[0], (W, table.x.shape)
     digits = scalar_digits(scalars, c, nbits)  # [W, ...]
     digits = jnp.moveaxis(digits, 0, -1)  # [..., W]
     batch = scalars.shape[:-1]
@@ -188,13 +199,14 @@ def fixed_mul(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int = 4) -> Poi
     return cv.sum_points(pts, axis=pts.x.ndim - 2)
 
 
-def fixed_msm(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+def fixed_msm(cv: Curve, table: PointP, scalars: jnp.ndarray, c: int | None = None) -> PointP:
     """Fixed-base MSM: sum_i scalars[..., i, :] * bases[i] for a batch of
-    bases' tables [n, W, 2^c, L]. Gather n*W entries, one log-depth tree sum.
-    Jittable; table is an argument."""
+    bases' tables [n, W, 2^c, L]. Gather n*W entries, one scan tree sum.
+    Jittable; table is an argument; window width derived from its shape."""
+    T = table.x.shape[-2]
+    c = (T - 1).bit_length()
     nbits = cv.fr.bits
     W = -(-nbits // c)
-    T = 1 << c
     n = table.x.shape[0]
     batch = scalars.shape[:-2]
     digits = scalar_digits(scalars, c, nbits)  # [W, ..., n]
@@ -222,7 +234,8 @@ class FixedBaseTable:
     program per batch-size bucket.
     """
 
-    def __init__(self, cv: Curve, host_point, c: int = 4):
+    def __init__(self, cv: Curve, host_point, c: int | None = None):
+        c = DEFAULT_FIXED_WINDOW if c is None else c
         self.cv = cv
         self.c = c
         self.nbits = cv.fr.bits
@@ -260,7 +273,8 @@ class FixedBaseMSM:
     key): result = sum_i scalars[..., i] * bases[i]. Tables are built on
     device and passed as jit arguments (see `FixedBaseTable`)."""
 
-    def __init__(self, cv: Curve, host_points, c: int = 4):
+    def __init__(self, cv: Curve, host_points, c: int | None = None):
+        c = DEFAULT_FIXED_WINDOW if c is None else c
         self.cv = cv
         self.c = c
         self.nbits = cv.fr.bits

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -208,11 +209,20 @@ class DLCards:
         return cv.add(cv.neg(agg), masked.c1)
 
     # ------------------------------------------------------------- shuffle
-    def shuffle_and_remask(self, rng, pp, shared_key, deck: Ciphertexts, masking_factors, permutation):
+    def shuffle_and_remask(
+        self, rng, pp, shared_key, deck: Ciphertexts, masking_factors, permutation,
+        device_proof: bool = False,
+    ):
         """Permute + remask the deck and emit a Bayer-Groth shuffle proof
         (`mod.rs:380-418`). `permutation`: int array pi, output[i] = deck[pi[i]];
-        `masking_factors`: [N] ints. Batched: leading deck dims allowed."""
-        from ..arguments import shuffle as shuffle_arg
+        `masking_factors`: [N] ints.
+
+        Proving runs on the device-resident staged prover (arguments/staged);
+        the result converts to the host dataclass proof for serialization/API
+        compatibility unless `device_proof=True` (the fast path — keeps the
+        proof as device arrays that `verify_shuffle` consumes directly).
+        """
+        from ..arguments import device_api
 
         cv = pp.cv
         pi = jnp.asarray(permutation)
@@ -224,18 +234,37 @@ class DLCards:
         rho = ints_to_limbs(masking_factors, cv.fr.L).reshape(shape + (cv.fr.L,))
         zero_enc = elgamal.encrypt_zero(pp.enc, shared_key.table, rho)
         shuffled = elgamal.cipher_add(cv, permuted, zero_enc)
-        ts = TranscriptBatch.fixed(SHUFFLE_RNG_SEED, 1)
-        proof = shuffle_arg.prove(
-            rng, pp, shared_key, deck, shuffled, permutation, masking_factors, ts
+
+        keys = device_api.make_keys(pp, shared_key)
+        rand = device_api.sample_shuffle_rand(
+            rng, pp.m, pp.n, cv.fr.L, cv.host.order, batch=1
         )
-        return shuffled, proof
+        bat = lambda c: jax.tree.map(lambda a: a[None], c)
+        dev_proof = device_api.prove_shuffle(
+            cv, pp.m, pp.n, keys, bat(deck), bat(shuffled),
+            jnp.asarray(pi, jnp.int32)[None], jnp.asarray(rho)[None], rand,
+        )
+        if device_proof:
+            return shuffled, dev_proof
+        return shuffled, device_api.dev_proof_to_host(cv, dev_proof)
 
     def verify_shuffle(self, pp, shared_key, original: Ciphertexts, shuffled: Ciphertexts, proof):
-        """`mod.rs:420-443`."""
-        from ..arguments import shuffle as shuffle_arg
+        """`mod.rs:420-443`; raises the reference-ordered
+        ProofVerificationError ("Hadamard Product (5.1)" first) on failure."""
+        from ..arguments import device_api
+        from ..arguments.device import ShuffleProofDev
 
-        ts = TranscriptBatch.fixed(SHUFFLE_RNG_SEED, 1)
-        shuffle_arg.verify(pp, shared_key, original, shuffled, proof, ts)
+        cv = pp.cv
+        keys = device_api.make_keys(pp, shared_key)
+        if isinstance(proof, ShuffleProofDev):
+            dev_proof = proof
+        else:
+            dev_proof = device_api.host_proof_to_dev(cv, proof)
+        bat = lambda c: jax.tree.map(lambda a: a[None], c)
+        checks = device_api.verify_shuffle(
+            cv, pp.m, pp.n, keys, bat(original), bat(shuffled), dev_proof
+        )
+        device_api.raise_by_flags(checks)
 
     # ------------------------------------------------------------- helpers
     def _broadcast_host_point(self, hp, shape) -> PointP:
