@@ -55,7 +55,8 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
     from mental_poker_tpu.protocol.dl_cards import DLCards
     from mental_poker_tpu.utils.rand import GameRng, ints_to_limbs
 
-    m, n = 2, 26
+    # Smoke mode (scripts/ci.sh): tiny shape so the CPU backend compiles fast.
+    m, n = (2, 4) if os.environ.get("MPTPU_BENCH_SMOKE") else (2, 26)
     N = m * n
     proto = DLCards()
     rng = GameRng(1234)
@@ -106,6 +107,14 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
         one()
     dt = (time.perf_counter() - t0) / reps
     pairs_per_s = batch / dt
+    if os.environ.get("MPTPU_STAGE_TIMING"):
+        print(f"# prove+verify: {dt*1e3:.1f} ms per {batch}-deck batch", file=sys.stderr)
+        for key, steady_ms, calls, first in staged.stage_report():
+            print(
+                f"# stage {key[0]:<10} {str(key[4:]):<12} {steady_ms:9.2f} ms/call"
+                f"  x{calls}  (first {first:.2f} s)",
+                file=sys.stderr,
+            )
     return {
         "metric": "shuffle52_prove_verify_pairs_per_s",
         "value": round(pairs_per_s, 4),

@@ -25,6 +25,8 @@ exactly (interop pinned by tests/test_device_arguments.py).
 
 from __future__ import annotations
 
+import os
+import time
 from typing import NamedTuple
 
 import jax
@@ -61,11 +63,41 @@ _NO_MID = b"hadamard:no-mid"
 
 _PROGS: dict = {}
 
+# Per-stage wall-clock accounting, enabled by MPTPU_STAGE_TIMING=1:
+# key -> [total_s, calls, first_call_s]. The first call includes compile
+# (or persistent-cache load); steady-state cost is (total - first)/(calls - 1).
+STAGE_TIMES: dict = {}
+
+
+def stage_report() -> list:
+    """[(key, steady_ms_per_call, calls, first_s)] sorted by total steady time."""
+    rows = []
+    for k, (tot, n, first) in STAGE_TIMES.items():
+        steady = (tot - first) / (n - 1) if n > 1 else first
+        rows.append((k, steady * 1e3, n, first))
+    rows.sort(key=lambda r: -(r[1] * max(r[2] - 1, 1)))
+    return rows
+
 
 def _prog(key, builder):
     fn = _PROGS.get(key)
     if fn is None:
-        fn = jax.jit(builder())
+        jfn = jax.jit(builder())
+        if os.environ.get("MPTPU_STAGE_TIMING"):
+
+            def timed(*a, _jfn=jfn, _key=key, **kw):
+                t0 = time.perf_counter()
+                out = _jfn(*a, **kw)
+                jax.block_until_ready(out)
+                dt = time.perf_counter() - t0
+                rec = STAGE_TIMES.setdefault(_key, [0.0, 0, dt])
+                rec[0] += dt
+                rec[1] += 1
+                return out
+
+            fn = timed
+        else:
+            fn = jfn
         _PROGS[key] = fn
     return fn
 

@@ -82,16 +82,6 @@ class Field:
         self.raw_one = int_to_limbs(1, L)
         # N' = -p^-1 mod R (full-width), for the parallel Montgomery reduction.
         self.nprime_limbs = int_to_limbs((-pow(modulus, -1, self.R)) % self.R, L)
-        # Anti-diagonal gather indices for the schoolbook product:
-        # c[k] = sum_i lo[i, k-i] + sum_i hi[i, k-1-i].
-        i_idx = np.arange(L)[:, None]
-        k_idx = np.arange(2 * L)[None, :]
-        j_lo = k_idx - i_idx
-        j_hi = k_idx - i_idx - 1
-        self._lo_valid = ((j_lo >= 0) & (j_lo < L)).astype(np.uint32)
-        self._hi_valid = ((j_hi >= 0) & (j_hi < L)).astype(np.uint32)
-        self._j_lo = np.clip(j_lo, 0, L - 1).astype(np.int32)
-        self._j_hi = np.clip(j_hi, 0, L - 1).astype(np.int32)
         # Jit every public device entry point (compiled once per input shape,
         # cached persistently). Without this the stack runs eagerly — hundreds
         # of thousands of per-op dispatches per scalar multiplication.
@@ -214,19 +204,36 @@ class Field:
     def eq(self, a, b):
         return jnp.all(a == b, axis=-1)
 
+    @staticmethod
+    def _antidiag_sums(m):
+        """c[k] = sum_i m[..., i, k-i] for m [..., L, L] -> c [..., 2L-1].
+
+        Gather-free "skew" trick: pad rows to width 2L, flatten, and re-view
+        with row stride 2L-1 — element [i, j] lands at row i, column i+j of
+        the new view, so anti-diagonal sums become one plain axis reduction.
+        Pure pad/reshape/sum: tiny HLO, no gathers (TPUs hate minor-dim
+        gathers), vectorizes over any batch shape.
+        """
+        L = m.shape[-1]
+        if L == 1:
+            return m[..., 0, :]
+        pad = [(0, 0)] * (m.ndim - 1)
+        mp = jnp.pad(m, pad + [(0, L)])  # [..., L, 2L]
+        flat = mp.reshape(m.shape[:-2] + (L * 2 * L,))
+        view = flat[..., : L * (2 * L - 1)].reshape(m.shape[:-2] + (L, 2 * L - 1))
+        return jnp.sum(view, axis=-2)
+
     def _raw_product(self, a, b):
         """Raw anti-diagonal sums of the schoolbook product, [.., 2L] limbs
-        each < 2L*2^16 < 2^22 (L <= 31). Pure outer-product + gather + reduce:
-        no scatters, no loops — TPU/VPU friendly and compile-cheap.
+        each < 2L*2^16 < 2^22 (L <= 31). Outer product + skewed-reshape
+        reduction: no scatters, no gathers, no loops.
         """
+        L = self.L
         op = a[..., :, None] * b[..., None, :]  # [.., L, L] exact in uint32
-        lo = op & MASK
-        hi = op >> LIMB_BITS
-        j_lo = jnp.broadcast_to(jnp.asarray(self._j_lo), op.shape[:-1] + (2 * self.L,))
-        j_hi = jnp.broadcast_to(jnp.asarray(self._j_hi), op.shape[:-1] + (2 * self.L,))
-        lo_sh = jnp.take_along_axis(lo, j_lo, axis=-1) * jnp.asarray(self._lo_valid)
-        hi_sh = jnp.take_along_axis(hi, j_hi, axis=-1) * jnp.asarray(self._hi_valid)
-        return jnp.sum(lo_sh, axis=-2) + jnp.sum(hi_sh, axis=-2)
+        lo = self._antidiag_sums(op & MASK)  # [.., 2L-1], term (i, j) at i+j
+        hi = self._antidiag_sums(op >> LIMB_BITS)  # term (i, j) at i+j (+1 below)
+        pad = [(0, 0)] * (lo.ndim - 1)
+        return jnp.pad(lo, pad + [(0, 1)]) + jnp.pad(hi, pad + [(1, 0)])
 
     def mont_mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p (inputs/outputs reduced).

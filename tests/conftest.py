@@ -13,7 +13,18 @@ dispatch latency is ~ms; the suite would take hours).
 """
 
 import os
+import resource
 import sys
+
+# XLA's CPU backend JITs some of this framework's stage programs into single
+# huge LLVM functions; instruction selection recurses deeply enough to blow
+# the default 8 MiB stack (observed: SIGSEGV inside backend_compile_and_load,
+# reproducibly, at the largest fixed-base-MSM commit programs). Raise the soft
+# limit BEFORE the backend spawns any compile threads — pthread stacks size
+# themselves from the soft limit at thread-creation time.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 1 << 29:
+    resource.setrlimit(resource.RLIMIT_STACK, (1 << 29, _hard))  # 512 MiB
 
 # XLA_FLAGS is read lazily at first backend initialization, which happens
 # after this module runs — so setting it here still works.
