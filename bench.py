@@ -102,6 +102,10 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
         assert ok, "bench proof failed to verify"
 
     one()  # warmup / compile
+    prof_dir = os.environ.get("MPTPU_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            one()
     t0 = time.perf_counter()
     for _ in range(reps):
         one()
@@ -156,12 +160,88 @@ def bench_msm(reps: int) -> dict:
     }
 
 
+def bench_deck1024(reps: int) -> dict:
+    """BASELINE stress config: one 1024-card deck (m=16, n=64) Bayer-Groth
+    prove+verify. The arkworks single-core estimate scales the 52-card cost
+    by prover work m*N + ~8N exps (parameter_selection.rs:3): ~25k exps
+    ~ 3.3 s/pair => ~0.3 pairs/s."""
+    os.environ["MPTPU_BENCH_SMOKE"] = ""  # full shape
+    return _bench_shuffle_shape(16, 64, reps, batch=1,
+                                metric="deck1024_prove_verify_pairs_per_s",
+                                baseline_pairs_per_s=0.3)
+
+
+def _bench_shuffle_shape(m, n, reps, batch, metric, baseline_pairs_per_s):
+    import jax
+    import numpy as np
+
+    from mental_poker_tpu.arguments import device_api, staged
+    from mental_poker_tpu.crypto import elgamal
+    from mental_poker_tpu.crypto.elgamal import Ciphertexts
+    from mental_poker_tpu.ops.curve import PointP
+    from mental_poker_tpu.protocol.dl_cards import DLCards
+    from mental_poker_tpu.utils.rand import GameRng, ints_to_limbs
+
+    N = m * n
+    proto = DLCards()
+    rng = GameRng(99)
+    pp = proto.setup(rng, m, n)
+    pk, sk = proto.player_keygen(rng, pp)
+    kproof = proto.prove_key_ownership(rng, pp, pk, sk, b"b")
+    agg = proto.compute_aggregate_key(pp, [(pk, kproof, b"b")])
+    cv = proto.cv
+    keys = device_api.make_keys(pp, agg)
+    ss = staged.get_staged(cv, m, n)
+    q = cv.host.order
+
+    flat = elgamal.rand_ciphertexts(cv, rng, batch * N)
+    rs = lambda P: PointP(
+        P.x.reshape(batch, N, -1), P.y.reshape(batch, N, -1), P.z.reshape(batch, N, -1)
+    )
+    deck = Ciphertexts(rs(flat.c0), rs(flat.c1))
+    pi = np.stack([rng.permutation(N) for _ in range(batch)]).astype(np.int32)
+    rho = ints_to_limbs(
+        [[rng.scalar(q) for _ in range(N)] for _ in range(batch)], cv.fr.L
+    )
+    permuted = jax.tree.map(
+        lambda a: jax.numpy.take_along_axis(
+            a, jax.numpy.asarray(pi)[..., None].astype(jax.numpy.int32), axis=1
+        ),
+        deck,
+    )
+    zero_enc = elgamal.encrypt_zero(pp.enc, agg.table, rho)
+    shuffled = elgamal.cipher_add(cv, permuted, zero_enc)
+    jax.block_until_ready(shuffled)
+
+    def one():
+        rand = device_api.sample_shuffle_rand(rng, m, n, cv.fr.L, q, batch=batch)
+        proof = ss.prove(keys, deck, shuffled, jax.numpy.asarray(pi), rho, rand)
+        checks = ss.verify(keys, deck, shuffled, proof)
+        jax.block_until_ready(checks)
+        assert all(bool(np.asarray(c).all()) for c in checks), "bench proof failed"
+
+    one()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        one()
+    dt = (time.perf_counter() - t0) / reps
+    pairs_per_s = batch / dt
+    return {
+        "metric": metric,
+        "value": round(pairs_per_s, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 4),
+    }
+
+
 def main():
     mode = os.environ.get("MPTPU_BENCH_MODE", "shuffle52")
     reps = int(os.environ.get("MPTPU_BENCH_REPS", "3"))
     batch = int(os.environ.get("MPTPU_BENCH_BATCH", "8"))
     if mode == "msm":
         result = bench_msm(reps)
+    elif mode == "deck1024":
+        result = bench_deck1024(reps)
     else:
         result = bench_shuffle52(reps, batch)
     print(json.dumps(result))

@@ -40,19 +40,16 @@ def sample_shuffle_rand(
     rng: GameRng, m: int, n: int, L: int, order: int, batch: int = 1
 ) -> dev.ShuffleRand:
     """Draw the prover randomness bundle (documented draw order), with a
-    leading [batch] proof axis on every leaf."""
+    leading [batch] proof axis on every leaf. Vectorized host sampling
+    (`GameRng.scalar_limbs`): one numpy draw per leaf, not B*k Python ints."""
 
     def vec(k):
         if k == 0:
             return np.zeros((batch, 0, L), np.uint32)
-        return ints_to_limbs(
-            [[rng.scalar(order) for _ in range(k)] for _ in range(batch)], L
-        ).reshape(batch, k, L)
+        return rng.scalar_limbs(order, (batch, k), L)
 
     def one():
-        return ints_to_limbs([[rng.scalar(order)] for _ in range(batch)], L).reshape(
-            batch, L
-        )
+        return rng.scalar_limbs(order, (batch,), L)
 
     return dev.ShuffleRand(
         r=vec(m),

@@ -8,7 +8,10 @@ shared key pk. Claim: there are a permutation pi and factors rho_i with
 
 Protocol (transcript seeded by the protocol layer with "Shuffle Proof",
 `mod.rs:80-84`; this framework's documented absorb schedule):
-  absorb(statement: pk || C || C' || m || n)
+  absorb(statement: pk || root(C) || root(C') || m || n)
+    where root(.) is the binary Blake2s Merkle root over per-card
+    (c0 || c1) ToBytes leaves (`_deck_root`; odd nodes promote) — the
+    tree form keeps the device-resident absorb lane-parallel
   P->V: c_A = com rows of (a_i) = (pi(i)+1)            -> challenge x
   P->V: c_B = com rows of (b_i) = x^{a_i}              -> challenges y, z
   then two sub-arguments over the same transcript, product first:
@@ -57,11 +60,32 @@ def _as_matrix(cts: Ciphertexts, m: int, n: int) -> Ciphertexts:
     return Ciphertexts(rs(cts.c0), rs(cts.c1))
 
 
+def _deck_root(cv, deck) -> bytes:
+    """Binary Blake2s Merkle root over per-card (c0 || c1) ToBytes leaves;
+    odd nodes promote unchanged. Device twin: arguments/staged.py
+    `_deck_root_dev` (absorb schedules are this framework's own spec; the
+    tree form keeps the device absorb lane-parallel instead of ~214
+    sequential Blake2s compressions over the flat deck stream)."""
+    import hashlib
+
+    cards = me.cipher_to_host(cv, deck)
+    level = [hashlib.blake2s(me.cipher_bytes(cv, [c])).digest() for c in cards]
+    while len(level) > 1:
+        nxt = [
+            hashlib.blake2s(level[i] + level[i + 1]).digest()
+            for i in range(0, len(level) - 1, 2)
+        ]
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0]
+
+
 def _statement_bytes(pp, shared_key, deck_in, deck_out) -> bytes:
     cv = pp.cv
     blob = serialize.point_to_bytes(shared_key.host, cv.host)
-    blob += me.cipher_bytes(cv, me.cipher_to_host(cv, deck_in))
-    blob += me.cipher_bytes(cv, me.cipher_to_host(cv, deck_out))
+    blob += _deck_root(cv, deck_in)
+    blob += _deck_root(cv, deck_out)
     blob += pp.m.to_bytes(8, "little") + pp.n.to_bytes(8, "little")
     return blob
 

@@ -54,12 +54,40 @@ from .device import (
     aff_blob,
     aff_bytes,
     aff_to_proj,
-    cat_affs,
     table_base,
     to_aff,
 )
 
 _NO_MID = b"hadamard:no-mid"
+
+
+def _tree_root_dev(leaf_bytes: jnp.ndarray) -> jnp.ndarray:
+    """Binary Blake2s Merkle root of uint8[..., k, nbytes] leaves ->
+    uint8[..., 32]. Odd nodes promote unchanged (host twin:
+    arguments/shuffle.py `_deck_root`)."""
+    from ..crypto import hash_jax
+
+    h = hash_jax.blake2s_bytes(leaf_bytes)  # [..., k, 32]
+    k = h.shape[-2]
+    while k > 1:
+        half = k // 2
+        pairs = jnp.concatenate(
+            [h[..., 0 : 2 * half : 2, :], h[..., 1 : 2 * half : 2, :]], axis=-1
+        )  # [..., half, 64]
+        nh = hash_jax.blake2s_bytes(pairs)
+        if k % 2:
+            nh = jnp.concatenate([nh, h[..., -1:, :]], axis=-2)
+        h = nh
+        k = h.shape[-2]
+    return h[..., 0, :]
+
+
+def _deck_root_dev(cv, deck: Ciphertexts) -> jnp.ndarray:
+    """Merkle root over per-card (c0 || c1) ToBytes leaves: [B, N] -> [B, 32]."""
+    leaves = jnp.concatenate(
+        [sj.point_bytes(cv, deck.c0), sj.point_bytes(cv, deck.c1)], axis=-1
+    )  # [B, N, 2*pb]
+    return _tree_root_dev(leaves)
 
 _PROGS: dict = {}
 
@@ -145,10 +173,17 @@ class StagedShuffle:
                 B = din.c0.x.shape[0]
                 st = dt.init(SHUFFLE_RNG_SEED, (B,))
                 pk_pt = table_base(keys.pk)
+                # statement absorb v2 (own-spec; see arguments/shuffle.py):
+                # per-card leaf hashes + binary Merkle roots replace the flat
+                # deck byte stream — the flat stream forced ~214 SEQUENTIAL
+                # Blake2s compressions per absorb; the tree is depth ~log2(N)
+                # with every level fully lane-parallel.
+                root_in = _deck_root_dev(cv, din)
+                root_out = _deck_root_dev(cv, dout)
                 blob = sj.concat_bytes(
                     sj.points_blob(cv, pk_pt),
-                    sj.cipher_blob(cv, din.c0, din.c1),
-                    sj.cipher_blob(cv, dout.c0, dout.c1),
+                    root_in,
+                    root_out,
                     sj.u64_le_bytes(m),
                     sj.u64_le_bytes(n),
                 )
@@ -548,8 +583,16 @@ class StagedShuffle:
                         P.z[:, idx].reshape(B, 2 * m, m * n, L),
                     )
 
-                d0 = msm_mod.msm(cv, gather(C.c0), scal)
-                d1 = msm_mod.msm(cv, gather(C.c1), scal)
+                # one MSM over both ciphertext components: [B, 4m, m*n]
+                g0, g1 = gather(C.c0), gather(C.c1)
+                gboth = PointP(
+                    jnp.concatenate([g0.x, g1.x], 1),
+                    jnp.concatenate([g0.y, g1.y], 1),
+                    jnp.concatenate([g0.z, g1.z], 1),
+                )
+                dboth = msm_mod.msm(cv, gboth, jnp.concatenate([scal, scal], 1))
+                d0 = PointP(dboth.x[:, : 2 * m], dboth.y[:, : 2 * m], dboth.z[:, : 2 * m])
+                d1 = PointP(dboth.x[:, 2 * m :], dboth.y[:, 2 * m :], dboth.z[:, 2 * m :])
                 e0 = cv.add(bl0, d0)
                 e1 = cv.add(bl1, d1)
                 e0a = to_aff(cv, e0)
@@ -917,10 +960,7 @@ class StagedShuffle:
         e0_p = aff_to_proj(cv, me.e0)
         e1_p = aff_to_proj(cv, me.e1)
 
-        Pmax = max(N, 2 * m + 2)
-        zc = jnp.zeros((B, L), jnp.uint32)
-
-        def pad_combo(pts_list, coeff_list):
+        def pad_combo(pts_list, coeff_list, Pmax):
             """one combo: lists of (PointP [B, L], coeff [B, L]) -> padded row."""
             k = len(pts_list)
             xs = jnp.stack([p.x for p in pts_list], axis=1)
@@ -940,20 +980,27 @@ class StagedShuffle:
             return PointP(P.x[:, i], P.y[:, i], P.z[:, i])
 
         def run_combos(rows):
+            """Each group pads its rows to the GROUP's max width (pow2 for
+            compile-cache reuse) — padding everything to the deck width N
+            cost the verifier ~7-17x wasted MSM work on the small groups."""
             Q = len(rows)
             px = jnp.stack([r[0] for r in rows], axis=1)
             py = jnp.stack([r[1] for r in rows], axis=1)
             pz = jnp.stack([r[2] for r in rows], axis=1)
             cs = jnp.stack([r[3] for r in rows], axis=1)
-            out = self.p_combo(Q, Pmax)(px, py, pz, cs)
+            out = self.p_combo(Q, px.shape[2])(px, py, pz, cs)
             return out  # PointP [B, Q]
+
+        pow2 = lambda v: 1 if v <= 1 else 1 << (v - 1).bit_length()
 
         # Layer 1: product-argument statement commitments
         # c_d_pts[k] = y*c_a[k] + c_b[k] + c_mz
+        P1 = 4
         l1_rows = [
             pad_combo(
                 [pt_at(ca_p, k), pt_at(cb_p, k), cmz_p],
                 [y_c, one_c, one_c],
+                P1,
             )
             for k in range(m)
         ]
@@ -962,11 +1009,14 @@ class StagedShuffle:
         # Layer 2: hadamard-reduced commitments
         # c_B list = [c_d_pts[0], mids..., c_pb]
         cB = [pt_at(l1, 0)] + [pt_at(mid_p, i) for i in range(max(m - 2, 0))] + [cpb_p]
+        P2 = pow2(max(m - 1, 1))
         l2_rows = []
         for i in range(1, m):  # c_D_i = hx^i * c_B[i-1]
-            l2_rows.append(pad_combo([cB[i - 1]], [hxi_c[:, i]]))
+            l2_rows.append(pad_combo([cB[i - 1]], [hxi_c[:, i]], P2))
         l2_rows.append(  # c_Dsum = sum hx^i * c_B[i]
-            pad_combo([cB[i] for i in range(1, m)], [hxi_c[:, i] for i in range(1, m)])
+            pad_combo(
+                [cB[i] for i in range(1, m)], [hxi_c[:, i] for i in range(1, m)], P2
+            )
         )
         l2 = run_combos(l2_rows)  # [B, m]: c_D_1..c_D_{m-1}, c_Dsum
 
@@ -975,48 +1025,64 @@ class StagedShuffle:
         c_b_z = [pt_at(l1, i) for i in range(1, m)] + [cm1_p]
 
         # Layer 3: the rhs of every lhs==rhs check
+        P3 = pow2(2 * m + 1)
         l3_rows = [
             # zero rhs_a = sum zx^i [c_a0z, c_a_z...]
-            pad_combo([ca0z_p] + c_a_z, [zxi_c[:, i] for i in range(m + 1)]),
+            pad_combo([ca0z_p] + c_a_z, [zxi_c[:, i] for i in range(m + 1)], P3),
             # zero rhs_b = sum zx^(m+1-j) over [c_b_z..., c_bm1]
             pad_combo(
                 c_b_z + [cbm1_p],
                 [zxi_c[:, m + 1 - j] for j in range(1, m + 2)],
+                P3,
             ),
             # zero rhs_d = sum zx^k c_d[k]
             pad_combo(
                 [pt_at(cd_p, k) for k in range(2 * m + 1)],
                 [zxi_c[:, k] for k in range(2 * m + 1)],
+                P3,
             ),
             # svp rhs1 = svx*c_pb + c_d
-            pad_combo([cpb_p, sd_p], [fr.from_mont(svx), one_c]),
+            pad_combo([cpb_p, sd_p], [fr.from_mont(svx), one_c], P3),
             # svp rhs2 = svx*c_Delta + c_delta
-            pad_combo([sDel_p, sdel_p], [fr.from_mont(svx), one_c]),
+            pad_combo([sDel_p, sdel_p], [fr.from_mont(svx), one_c], P3),
             # me rhs_a = sum xj[0..m] [c_a0me, c_b(shuffle)...]
             pad_combo(
                 [mea0_p] + [pt_at(cb_p, i) for i in range(m)],
                 [xj_c[:, i] for i in range(m + 1)],
+                P3,
             ),
             # me rhs_b = sum xj c_b_me
             pad_combo(
                 [pt_at(mecb_p, k) for k in range(2 * m)],
                 [xj_c[:, k] for k in range(2 * m)],
+                P3,
             ),
         ]
         rhs = run_combos(l3_rows)  # [B, 7]
 
-        # cipher combos: T (deck_in x^i), lhs_e (e x^k), rhs_pair (C rows, me scal)
+        # cipher combos, grouped by width: the N-wide deck rows (T and the
+        # me rhs pair) and the 2m-wide blind rows (lhs_e)
         xpow_c = fr.from_mont(fr.powers(x, N))
         mescal = co["mescal"]  # [B, m*n, L]
-        cipher_rows = [
-            pad_combo([pt_at(deck_in.c0, i) for i in range(N)], [xpow_c[:, i] for i in range(N)]),
-            pad_combo([pt_at(deck_in.c1, i) for i in range(N)], [xpow_c[:, i] for i in range(N)]),
-            pad_combo([pt_at(e0_p, k) for k in range(2 * m)], [xj_c[:, k] for k in range(2 * m)]),
-            pad_combo([pt_at(e1_p, k) for k in range(2 * m)], [xj_c[:, k] for k in range(2 * m)]),
-            pad_combo([pt_at(deck_out.c0, i) for i in range(N)], [mescal[:, i] for i in range(N)]),
-            pad_combo([pt_at(deck_out.c1, i) for i in range(N)], [mescal[:, i] for i in range(N)]),
+        deck_rows = [
+            pad_combo([pt_at(deck_in.c0, i) for i in range(N)], [xpow_c[:, i] for i in range(N)], N),
+            pad_combo([pt_at(deck_in.c1, i) for i in range(N)], [xpow_c[:, i] for i in range(N)], N),
+            pad_combo([pt_at(deck_out.c0, i) for i in range(N)], [mescal[:, i] for i in range(N)], N),
+            pad_combo([pt_at(deck_out.c1, i) for i in range(N)], [mescal[:, i] for i in range(N)], N),
         ]
-        cipher = run_combos(cipher_rows)  # [B, 6]: T0, T1, lE0, lE1, rP0, rP1
+        Pe = pow2(2 * m)
+        e_rows = [
+            pad_combo([pt_at(e0_p, k) for k in range(2 * m)], [xj_c[:, k] for k in range(2 * m)], Pe),
+            pad_combo([pt_at(e1_p, k) for k in range(2 * m)], [xj_c[:, k] for k in range(2 * m)], Pe),
+        ]
+        deckc = run_combos(deck_rows)  # [B, 4]: T0, T1, rP0, rP1
+        ec = run_combos(e_rows)  # [B, 2]: lE0, lE1
+        # reassemble in p_flags order: T0, T1, lE0, lE1, rP0, rP1
+        cipher = PointP(
+            jnp.concatenate([deckc.x[:, :2], ec.x, deckc.x[:, 2:]], axis=1),
+            jnp.concatenate([deckc.y[:, :2], ec.y, deckc.y[:, 2:]], axis=1),
+            jnp.concatenate([deckc.z[:, :2], ec.z, deckc.z[:, 2:]], axis=1),
+        )
 
         return self.p_flags()(
             keys,

@@ -20,6 +20,7 @@ once). Fixed-base windowed tables and MSM live in `ops/msm.py`.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,16 @@ class PointP(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
     z: jnp.ndarray
+
+
+def _use_pallas() -> bool:
+    """Trace-time switch: fused Pallas point kernels on TPU backends
+    (single source of truth: ops/pallas/field.use_pallas; MPTPU_PALLAS
+    overrides). Checked at trace time, so each backend's compiled programs
+    pick the right path automatically."""
+    from .pallas import field as pallas_field
+
+    return pallas_field.use_pallas()
 
 
 class Curve:
@@ -172,13 +183,19 @@ class Curve:
     def add(self, P: PointP, Q: PointP) -> PointP:
         """Complete projective addition (RCB15 Algorithm 1; any `a`).
 
-        *Layered* formulation: the formula's 12 multiplications and ~17
-        additions are regrouped by dependency depth into 3 batched
-        `mont_mul` calls and ~7 batched add/sub calls over operands stacked
-        on a new leading axis. Semantically identical to the sequential
-        RCB algorithm, but the traced graph is ~4x smaller (compile time)
-        and the device ops are wider (VPU utilization).
+        On TPU backends this dispatches to the fused Pallas kernel
+        (ops/pallas/curve.py): the whole 12-mul formula runs VMEM-resident in
+        one program. Elsewhere (CPU CI, interpret-free environments) it uses
+        the *layered* jnp formulation: the 12 multiplications and ~17
+        additions regrouped by dependency depth into 3 batched `mont_mul`
+        calls and ~7 batched add/sub calls over operands stacked on a new
+        leading axis (traced graph ~4x smaller, wider VPU ops). Both paths
+        are bit-identical (mod-p ops are exact; outputs canonically reduced).
         """
+        if _use_pallas():
+            from .pallas import curve as pallas_curve
+
+            return pallas_curve.point_add(self, P, Q)
         f = self.fq
         X1, Y1, Z1 = jnp.broadcast_arrays(*P)
         X2, Y2, Z2 = jnp.broadcast_arrays(*Q)

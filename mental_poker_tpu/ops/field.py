@@ -238,7 +238,10 @@ class Field:
     def mont_mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p (inputs/outputs reduced).
 
-        Fully parallel separated-operand form — no sequential limb loop:
+        On TPU backends dispatches to the fused Pallas kernel
+        (ops/pallas/field.py — one VMEM-resident program; bit-identical).
+        jnp fallback: fully parallel separated-operand form — no sequential
+        limb loop:
           T  = a*b                      (full product)
           m  = (T mod R) * N' mod R     (one low product; N' = -p^-1 mod R)
           S  = T + m*p                  (low L limbs cancel to 0)
@@ -246,6 +249,10 @@ class Field:
         Everything reduces to three outer-product convolutions plus log-depth
         carry resolution.
         """
+        from .pallas import field as pallas_field
+
+        if pallas_field.use_pallas():
+            return pallas_field.mont_mul(self, a, b)
         L = self.L
         a, b = jnp.broadcast_arrays(a, b)
         T = self._carry(self._raw_product(a, b), 2 * L)  # clean a*b

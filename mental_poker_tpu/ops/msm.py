@@ -106,20 +106,41 @@ def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
 
 
 def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP:
+    """Window-parallel MSM: ALL W windows' gathers + N-axis tree-sums run as
+    one wide batch (maximum lanes per kernel dispatch — the N-axis reduction
+    is ~98% of the point-add work), leaving only the Horner fold over windows
+    (W adds + c*W doublings on a [batch]-wide accumulator) sequential.
+
+    The round-2 formulation looped windows sequentially, so every tree-sum
+    ran at 1/W of the width and wall-clock was dominated by per-dispatch
+    latency (measured 2.4 s vs ~0.25 s for the same MSM at B=64 on v5e).
+    """
     nbits = cv.fr.bits
-    table = build_tables(cv, points, c)
+    W = -(-nbits // c)
+    table = build_tables(cv, points, c)  # [..., N, T, L]
     digits = scalar_digits(scalars, c, nbits)  # [W, ..., N]
 
-    def body(acc, dig):
-        acc = jax.lax.fori_loop(0, c, lambda i, a: cv.dbl(a), acc)
-        pts = _gather_points(table, dig)  # [..., N, L]
-        s = cv.sum_points(pts, axis=pts.x.ndim - 2)
-        return cv.add(acc, s), None
+    # one gather for every window: [W, ..., N, L]
+    ix = digits[..., None, None]
+    L = table.x.shape[-1]
 
-    # scan MSB window first
-    acc, _ = jax.lax.scan(
-        body, cv.identity_like(points.x[..., 0, :]), jnp.flip(digits, axis=0)
-    )
+    def g(coord):
+        return jnp.take_along_axis(
+            coord[None],
+            jnp.broadcast_to(ix, digits.shape + (1, L)),
+            axis=-2,
+        )[..., 0, :]
+
+    pts = PointP(g(table.x), g(table.y), g(table.z))
+    S = cv.sum_points(pts, axis=pts.x.ndim - 2)  # [W, ..., L]
+
+    # Horner fold, MSB window first: acc = 2^c * acc + S_w
+    def body(acc, s):
+        acc = jax.lax.fori_loop(0, c, lambda i, a: cv.dbl(a), acc)
+        return cv.add(acc, PointP(*s)), None
+
+    rev = tuple(jnp.flip(q, axis=0) for q in S)
+    acc, _ = jax.lax.scan(body, cv.identity_like(points.x[..., 0, :]), rev)
     return acc
 
 

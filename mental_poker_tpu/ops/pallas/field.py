@@ -21,6 +21,7 @@ Bit-exactness vs the jnp path is pinned by tests/test_pallas_field.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +163,18 @@ def available() -> bool:
         return jax.default_backend().startswith("tpu") or jax.default_backend() == "axon"
     except Exception:
         return False
+
+
+def use_pallas() -> bool:
+    """Trace-time switch for the fused field/point kernels: on for TPU
+    backends; MPTPU_PALLAS=0/1 overrides (1 = interpret mode off-TPU,
+    test-only). Shared by `Field.mont_mul` and `Curve.add`."""
+    env = os.environ.get("MPTPU_PALLAS")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return available()
 
 
 def mont_mul(field, a, b, block_lanes: int = 512, interpret: bool | None = None):

@@ -169,6 +169,106 @@ def sharded_deck_msm(cv: Curve, mesh: Mesh, window: int = 4):
     return jax.jit(run)
 
 
+def sharded_window_msm(cv: Curve, mesh: Mesh, axis: str = "sp", window: int = 4):
+    """TP-sharded variable-base MSM: partition the Pippenger bucket WINDOWS
+    across the `axis` mesh dimension (SURVEY §2.3 TP row).
+
+    out[b] = sum_i k[b, i] * pts[b, i], computed as sum_w 2^(c*w) * S_w with
+    S_w = sum_i digit_w(k_i) * pts_i. Each device owns a contiguous chunk of
+    windows and computes only those windows' digit-table gathers + tree sums —
+    the dominant O(W*N) bucket-accumulation work splits D ways. The (cheap)
+    weighted combine — an all_gather of the W window sums (points, tiny)
+    followed by one Horner ladder of W adds + c*W doublings — runs replicated.
+
+    Points/scalars are replicated along `axis` (TP trades memory for compute
+    balance; use `sharded_deck_msm` to split the points axis instead).
+    """
+    c = window
+    nbits = cv.fr.bits
+    W = -(-nbits // c)
+    D = mesh.shape[axis]
+    Wd = -(-W // D)  # windows per device (last device may own padding)
+
+    def local(pts: PointP, k):
+        d = jax.lax.axis_index(axis)
+        digits = msm_mod.scalar_digits(k, c, nbits)  # [W, B, N]
+        pad = jnp.zeros((Wd * D - W,) + digits.shape[1:], digits.dtype)
+        digits = jnp.concatenate([digits, pad], 0)  # [Wd*D, B, N]
+        mine = jax.lax.dynamic_slice_in_dim(digits, d * Wd, Wd, axis=0)
+        table = msm_mod.build_tables(cv, pts, c)  # [B, N, 2^c, L]
+
+        def body(_, dig):
+            gathered = msm_mod._gather_points(table, dig)  # [B, N, L]
+            s = cv.sum_points(gathered, axis=gathered.x.ndim - 2)
+            return None, tuple(s)
+
+        _, sums = jax.lax.scan(body, None, mine)  # coords [Wd, B, L]
+        S = PointP(*sums)
+        # all_gather the window sums: [D*Wd, B, L] in window order
+        g = jax.tree.map(lambda a: jax.lax.all_gather(a, axis, axis=0, tiled=True), S)
+        # Horner over windows, MSB first: acc = 2^c * acc + S_w
+        rev = PointP(*(jnp.flip(q[:W], axis=0) for q in g))
+
+        def horner(acc, row):
+            for _ in range(c):
+                acc = cv.dbl(acc)
+            return cv.add(acc, PointP(*row)), None
+
+        acc, _ = jax.lax.scan(
+            horner, cv.identity_like(rev.x[0]), tuple(rev)
+        )
+        return acc
+
+    other = [ax for ax in mesh.axis_names if ax != axis]
+    dp = other[0] if other else None
+    pt = P(dp, None, None)  # batch over the data axis, replicated along TP
+    out = P(dp, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PointP(pt, pt, pt), pt),
+        out_specs=PointP(out, out, out),
+        check_vma=False,  # dynamic-slice by axis_index varies; result replicates
+    )
+    return jax.jit(fn)
+
+
+def sharded_prefix_prod(field, mesh: Mesh, axis: str = "sp"):
+    """SP: inclusive modular prefix product with the SEQUENCE axis sharded
+    across the mesh (SURVEY §2.3 SP row; the product argument's cross-deck
+    prefix products at large N).
+
+    in/out: [B, N, L] Montgomery-form limbs, N sharded over `axis`, B over the
+    other mesh axis. Scheme: local inclusive scan per shard, all_gather of the
+    per-shard totals (one [D, B, L] exchange over ICI), exclusive prefix of
+    the totals locally, then one broadcast multiply — the classic
+    scan-then-offset decomposition.
+    """
+
+    def local(a_sh):
+        # a_sh: [B_loc, N_loc, L]
+        moved = jnp.moveaxis(a_sh, 1, 0)  # [N_loc, B, L]
+        pref = jnp.moveaxis(field._prefix_prod_scan(moved), 0, 1)  # [B, N_loc, L]
+        total = pref[:, -1]  # [B, L]
+        tots = jax.lax.all_gather(total, axis, axis=0)  # [D, B, L]
+        d = jax.lax.axis_index(axis)
+        one = jnp.broadcast_to(jnp.asarray(field.one_mont), total.shape)
+        # exclusive prefix of shard totals up to this shard
+        D = tots.shape[0]
+        mask = (jnp.arange(D) < d)[:, None, None]
+        masked = jnp.where(mask, tots, jnp.broadcast_to(one, tots.shape))
+        offset = field.prod_mod(masked, axis=0)  # [B, L]
+        return field.mont_mul(pref, offset[:, None, :])
+
+    other = [ax for ax in mesh.axis_names if ax != axis]
+    dp = other[0] if other else None
+    spec = P(dp, axis, None)
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                      check_vma=False)
+    )
+
+
 def sharded_commit_step(ck, mesh: Mesh):
     """dp-sharded Pedersen row commitments: vecs [B, m, n, L], rs [B, m, L]
     -> PointP [B, m]. Rows replicated over sp (commit key is per-game fixed)."""

@@ -30,13 +30,11 @@ import numpy as np
 from ..crypto import elgamal, pedersen, sigma
 from ..crypto.elgamal import Ciphertexts
 from ..crypto.errors import CardProtocolError, CryptoError
-from ..crypto.group import base_mul
 from ..crypto.transcript import (
     KEY_OWN_RNG_SEED,
     MASKING_RNG_SEED,
     REMASKING_RNG_SEED,
     REVEAL_RNG_SEED,
-    SHUFFLE_RNG_SEED,
     TranscriptBatch,
 )
 from ..ops import curve as curve_mod
@@ -225,42 +223,54 @@ class DLCards:
         from ..arguments import device_api
 
         cv = pp.cv
-        pi = jnp.asarray(permutation)
-        permuted = Ciphertexts(
-            PointP(deck.c0.x[..., pi, :], deck.c0.y[..., pi, :], deck.c0.z[..., pi, :]),
-            PointP(deck.c1.x[..., pi, :], deck.c1.y[..., pi, :], deck.c1.z[..., pi, :]),
+        N = pp.num_cards
+        pi = jnp.asarray(permutation, jnp.int32)
+        batched = pi.ndim == 2  # [B, N] decks proved natively in one dispatch
+        B = pi.shape[0] if batched else 1
+        pi_b = pi if batched else pi[None]
+        deck_b = deck if batched else jax.tree.map(lambda a: a[None], deck)
+
+        # coords are [B, N, L]; gather the deck axis under the permutation
+        permuted = jax.tree.map(
+            lambda a: jnp.take_along_axis(a, pi_b[..., None], axis=1), deck_b
         )
-        shape = permuted.c0.x.shape[:-1]
-        rho = ints_to_limbs(masking_factors, cv.fr.L).reshape(shape + (cv.fr.L,))
+        rho = ints_to_limbs(
+            list(np.asarray(masking_factors, dtype=object).reshape(-1)), cv.fr.L
+        ).reshape(B, N, cv.fr.L)
         zero_enc = elgamal.encrypt_zero(pp.enc, shared_key.table, rho)
         shuffled = elgamal.cipher_add(cv, permuted, zero_enc)
 
         keys = device_api.make_keys(pp, shared_key)
         rand = device_api.sample_shuffle_rand(
-            rng, pp.m, pp.n, cv.fr.L, cv.host.order, batch=1
+            rng, pp.m, pp.n, cv.fr.L, cv.host.order, batch=B
         )
-        bat = lambda c: jax.tree.map(lambda a: a[None], c)
         dev_proof = device_api.prove_shuffle(
-            cv, pp.m, pp.n, keys, bat(deck), bat(shuffled),
-            jnp.asarray(pi, jnp.int32)[None], jnp.asarray(rho)[None], rand,
+            cv, pp.m, pp.n, keys, deck_b, shuffled, pi_b, jnp.asarray(rho), rand
         )
+        if not batched:
+            shuffled = jax.tree.map(lambda a: a[0], shuffled)
         if device_proof:
             return shuffled, dev_proof
+        assert not batched or B == 1, "host-dataclass proofs are single-statement; use device_proof=True for batches"
         return shuffled, device_api.dev_proof_to_host(cv, dev_proof)
 
     def verify_shuffle(self, pp, shared_key, original: Ciphertexts, shuffled: Ciphertexts, proof):
         """`mod.rs:420-443`; raises the reference-ordered
-        ProofVerificationError ("Hadamard Product (5.1)" first) on failure."""
+        ProofVerificationError ("Hadamard Product (5.1)" first) on failure.
+
+        Accepts single decks ([N] ciphertexts + host/device proof) or native
+        batches ([B, N] ciphertexts + a batched device proof)."""
         from ..arguments import device_api
         from ..arguments.device import ShuffleProofDev
 
         cv = pp.cv
         keys = device_api.make_keys(pp, shared_key)
         if isinstance(proof, ShuffleProofDev):
-            dev_proof = proof
+            dev_proof = proof if proof.c_a.x.ndim == 3 else device_api.expand_proof(proof)
         else:
             dev_proof = device_api.host_proof_to_dev(cv, proof)
-        bat = lambda c: jax.tree.map(lambda a: a[None], c)
+        batched = original.c0.x.ndim == 3  # [B, N, L] coords
+        bat = (lambda c: c) if batched else (lambda c: jax.tree.map(lambda a: a[None], c))
         checks = device_api.verify_shuffle(
             cv, pp.m, pp.n, keys, bat(original), bat(shuffled), dev_proof
         )

@@ -33,10 +33,97 @@ def raise_stack_limit(nbytes: int = 1 << 29) -> None:
         pass  # non-POSIX or locked-down env: leave limits alone
 
 
+_CACHE_WRITE_CHILDREN: list = []
+
+
+def _patch_cache_write_isolated() -> None:
+    """Isolate CPU persistent-cache executable serialization in a fork.
+
+    XLA:CPU's `executable.serialize()` (AOT export) SEGFAULTS on this
+    framework's largest stage programs — reproducibly, at
+    `compilation_cache.py:265`, on the first big program whose entry gets
+    written, regardless of stack size (a 512 MiB dedicated-thread stack still
+    crashes, so it is not the recursion-depth issue `raise_stack_limit`
+    covers). The compiled executable itself is FINE — only its AOT
+    re-serialization dies — so the fix is to fork and let the child do the
+    write: entries that serialize cleanly still land in the cache, the
+    pathological few die silently with the child, and the proving process
+    never crashes. Only applied to CPU-backend writes (TPU serialization has
+    no such issue and forking with a live TPU client is unsafe).
+    """
+    import os as _os
+    import signal as _signal
+
+    from jax._src import compilation_cache as cc
+
+    if getattr(cc, "_mptpu_fork_patch", False):
+        return
+    orig = cc.put_executable_and_time
+
+    def _reap():
+        alive = []
+        for pid in _CACHE_WRITE_CHILDREN:
+            try:
+                done, _ = _os.waitpid(pid, _os.WNOHANG)
+                if done == 0:
+                    alive.append(pid)
+            except ChildProcessError:
+                pass
+        _CACHE_WRITE_CHILDREN[:] = alive
+
+    def wrapped(cache_key, module_name, executable, backend, compile_time):
+        platform = getattr(backend, "platform", "")
+        if platform != "cpu":
+            return orig(cache_key, module_name, executable, backend, compile_time)
+        _reap()
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            # the fork is deliberate: the child only serializes+writes and
+            # _exit(0)s; it never touches JAX thread state (see docstring)
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            pid = _os.fork()
+        if pid == 0:
+            # child: bounded lifetime, quiet death on the XLA serialize bug
+            try:
+                _signal.alarm(600)
+                orig(cache_key, module_name, executable, backend, compile_time)
+            except BaseException:
+                pass
+            finally:
+                _os._exit(0)
+        _CACHE_WRITE_CHILDREN.append(pid)
+
+    cc.put_executable_and_time = wrapped
+    cc._mptpu_fork_patch = True
+
+
+def raise_map_count(target: int = 1 << 20) -> None:
+    """Best-effort bump of vm.max_map_count (root-only; no-op otherwise).
+
+    Long proving sessions accumulate mmaps — LLVM JIT code sections, huge
+    pthread stacks (see `raise_stack_limit`), zstd-mapped cache entries — and
+    the Linux default of 65530 maps is reachable within one full-suite run.
+    Past it, mmap returns ENOMEM, LLVM logs "compilation error: Cannot
+    allocate memory", and XLA follows with a SIGSEGV (observed; the last of
+    the three distinct segfault mechanisms diagnosed in round 3).
+    """
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read().strip())
+        if cur < target:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(target))
+    except (OSError, ValueError, PermissionError):
+        pass
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
     raise_stack_limit()
+    raise_map_count()
+    _patch_cache_write_isolated()
 
     path = path or os.environ.get("MPTPU_CACHE_DIR", _DEFAULT)
     os.makedirs(path, exist_ok=True)

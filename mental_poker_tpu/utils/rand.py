@@ -42,6 +42,46 @@ class GameRng:
     def bytes(self, n: int) -> bytes:
         return bytes(self.rng.getrandbits(8) for _ in range(n))
 
+    def scalar_limbs(self, order: int, shape, L: int) -> np.ndarray:
+        """Uniform scalars in [0, order) directly as uint32[shape..., L]
+        16-bit limbs — vectorized numpy sampling with rejection, ~1000x
+        faster than per-int Python draws for proof-batch randomness
+        (the host-side cost at B=256 decks is otherwise seconds per batch).
+
+        Seeded from this GameRng (one 64-bit draw), so games stay
+        reproducible under a fixed seed.
+        """
+        shape = tuple(shape)
+        n = int(np.prod(shape)) if shape else 1
+        bits = order.bit_length()
+        top = -(-bits // 16) - 1  # index of the highest possibly-set limb
+        top_mask = (1 << (bits - 16 * top)) - 1
+        # order as limbs, most-significant first for lexicographic compare
+        olimbs = np.array(
+            [(order >> (16 * i)) & 0xFFFF for i in range(L - 1, -1, -1)],
+            dtype=np.uint32,
+        )
+        npr = np.random.Generator(np.random.PCG64(self.rng.getrandbits(64)))
+        out = np.zeros((n, L), np.uint32)
+        pending = np.arange(n)
+        while pending.size:
+            draw = npr.integers(0, 1 << 16, (pending.size, L), dtype=np.uint32)
+            draw[:, top + 1:] = 0
+            draw[:, top] &= top_mask
+            # accept iff value < order (big-endian lexicographic)
+            be = draw[:, ::-1]
+            lt = np.zeros(pending.size, bool)
+            decided = np.zeros(pending.size, bool)
+            for i in range(L):
+                lo = ~decided & (be[:, i] < olimbs[i])
+                hi = ~decided & (be[:, i] > olimbs[i])
+                lt |= lo
+                decided |= lo | hi
+            ok = lt  # equal-to-order (undecided) rejects too
+            out[pending[ok]] = draw[ok]
+            pending = pending[~ok]
+        return out.reshape(shape + (L,))
+
 
 def ints_to_limbs(vals, L: int) -> np.ndarray:
     """Nested list / object-array of python ints -> uint32[..., L] canonical."""

@@ -7,13 +7,14 @@
 #   3. bench smoke   — one tiny shuffle prove+verify through bench.py's path
 #   4. multichip     — the 8-virtual-device dryrun (`__graft_entry__.py`)
 #
-# Usage: scripts/ci.sh [--fast]   (--fast runs only step 1)
+# Usage: scripts/ci.sh [--fast|smoke]   (--fast: step 1 only; smoke: steps 3-4 only)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # Huge XLA:CPU compiles need a big stack (see utils/cache.py:raise_stack_limit).
 ulimit -Ss unlimited 2>/dev/null || ulimit -Ss 524288 || true
 
+if [[ "${1:-}" != "smoke" ]]; then
 echo "== [1/4] fast subset"
 python -m pytest tests/test_field.py tests/test_curve.py tests/test_transcript.py \
   tests/test_hash_jax.py -q -p no:cacheprovider
@@ -22,6 +23,7 @@ if [[ "${1:-}" == "--fast" ]]; then exit 0; fi
 
 echo "== [2/4] full suite"
 python -m pytest tests/ -q -p no:cacheprovider
+fi
 
 echo "== [3/4] bench smoke (CPU, tiny shape)"
 JAX_PLATFORMS=cpu MPTPU_BENCH_SMOKE=1 MPTPU_BENCH_REPS=1 MPTPU_BENCH_BATCH=2 \

@@ -1,0 +1,134 @@
+"""Speed-of-light harness for the L1 hot op (Pallas Montgomery multiply).
+
+BASELINE.md:25 sets a >=90%-of-speed-of-light limb-mul target. The TPU's raw
+u32-multiply issue rate is not published, so "speed of light" is MEASURED, not
+assumed: a multiply-only Pallas kernel (same [L, B] limb-major layout, same
+VMEM residency, nothing but the L*L 16x16-bit partial products of the
+schoolbook convolution) establishes the attainable peak limb-multiply rate on
+this chip; the real `mont_mul` kernel is then scored against it.
+
+mont_mul useful work per element: 2 full L-limb convolutions (a*b and m*p,
+L^2 muls each) + 1 truncated low convolution (~L^2/2) => 2.5*L^2 16x16 muls.
+Everything else (carry pipelines, REDC bookkeeping, conditional subtract) is
+overhead the SOL fraction charges against the kernel.
+
+Usage: python scripts/sol_harness.py  -> one JSON line
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mental_poker_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _peak_kernel(L: int, BT: int):
+    """Multiply-only kernel: the L^2 partial products of one convolution,
+    folded into a running XOR so nothing is dead-code-eliminated."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = a_ref[:]
+        b = b_ref[:]
+        acc = jnp.zeros_like(b)
+        for i in range(L):
+            acc = acc ^ (a[i][None] * b)  # [L, BT] u32 multiplies
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(a, b):
+        B = a.shape[1]
+        spec = pl.BlockSpec((L, BT), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+            grid=(B // BT,),
+            in_specs=[spec, spec],
+            out_specs=spec,
+        )(a, b)
+
+    return run
+
+
+def _time(fn, args, reps):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from mental_poker_tpu.ops import field as fm
+    from mental_poker_tpu.ops.pallas import field as pf
+
+    f = fm.stark_fq()
+    L = f.L
+    B = int(os.environ.get("MPTPU_SOL_B", str(1 << 20)))  # 1M elements
+    reps = int(os.environ.get("MPTPU_SOL_REPS", "10"))
+    CH = int(os.environ.get("MPTPU_SOL_CHAIN", "8"))  # chained muls per call
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 1 << 16, (L, B), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 16, (L, B), dtype=np.uint32))
+
+    # peak: multiply-only kernel, L^2 muls per element per call
+    peak_fn = _peak_kernel(L, 512)
+    dt_peak = _time(peak_fn, (a, b), reps)
+    peak_gmul = L * L * B / dt_peak / 1e9
+
+    # mont_mul kernel (chained so HBM in/out amortizes like real point ops)
+    run1 = pf._build(
+        L,
+        np.asarray(f.p_limbs, np.uint32).tobytes(),
+        np.asarray(f.nprime_limbs, np.uint32).tobytes(),
+        512,
+        False,
+    )
+
+    @jax.jit
+    def chain(a, b):
+        x = b
+        for _ in range(CH):
+            x = run1(a, x)
+        return x
+
+    # valid Montgomery inputs: reduce the raw randoms once through the kernel
+    am = run1(a % jnp.uint32(1 << 15), b % jnp.uint32(1 << 15))
+    dt_mm = _time(chain, (am, am), reps)
+    useful_gmul = 2.5 * L * L * B * CH / dt_mm / 1e9
+    sol = useful_gmul / peak_gmul
+
+    print(
+        json.dumps(
+            {
+                "metric": "mont_mul_sol_fraction",
+                "value": round(sol, 4),
+                "unit": "fraction of measured multiply-only peak",
+                "peak_gmul_per_s": round(peak_gmul, 1),
+                "mont_mul_useful_gmul_per_s": round(useful_gmul, 1),
+                "elements": B,
+                "chain": CH,
+                "limbs": L,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
