@@ -23,7 +23,7 @@ available.
 Env knobs:
   MPTPU_BENCH_MODE  = shuffle52 (default) | msm
   MPTPU_BENCH_REPS  = timed repetitions (default 3)
-  MPTPU_BENCH_BATCH = decks proved per dispatch sequence (default 8)
+  MPTPU_BENCH_BATCH = decks proved per dispatch sequence (default 128)
 """
 
 import json
@@ -234,14 +234,154 @@ def _bench_shuffle_shape(m, n, reps, batch, metric, baseline_pairs_per_s):
     }
 
 
+def bench_multigame(reps: int) -> dict:
+    """BASELINE config 4: "8 players, masking/remasking chain + reveal tokens
+    + Chaum-Pedersen proofs, 64 games in parallel".
+
+    64 games with INDEPENDENT keys run as one [G, N]-batched device program
+    stack (variable-base muls + the device sigma twin, so per-game fixed
+    tables are not needed): mask all decks + CP proofs + verify, remask chain
+    + CP + verify, all 8 players' reveal tokens + CP + verify, unmask check.
+
+    Baseline: per game ~ N*(9+9) mask/remask exps + P*N*9 reveal-CP exps
+    ~ 4.7k 252-bit exps ~ 0.61 s on an arkworks core => ~1.6 games/s.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mental_poker_tpu.crypto import elgamal, sigma_device as sd
+    from mental_poker_tpu.crypto import transcript_jax as dt
+    from mental_poker_tpu.crypto.transcript import (
+        MASKING_RNG_SEED,
+        REMASKING_RNG_SEED,
+        REVEAL_RNG_SEED,
+    )
+    from mental_poker_tpu.ops import curve as curve_mod
+    from mental_poker_tpu.ops.curve import PointP
+    from mental_poker_tpu.utils.rand import GameRng
+
+    G, P, m, n = 64, 8, 2, 26
+    N = m * n
+    cv = curve_mod.stark_curve()
+    fr = cv.fr
+    q = cv.host.order
+    rng = GameRng(11)
+
+    gens = cv.from_host_points([cv.host.rand_point(rng.rng) for _ in range(G)])
+    sks = rng.scalar_limbs(q, (G, P), fr.L)  # per-player secret keys
+    # player pks [G, P] and aggregate pk [G] = (sum_p sk_p) * g
+    gens_p = PointP(*(jnp.broadcast_to(c[:, None], (G, P, c.shape[-1])) for c in gens))
+    pks = cv.scalar_mul(jnp.asarray(sks), gens_p)
+    agg_sk_int = [
+        sum(int(sum(int(v) << (16 * i) for i, v in enumerate(sks[g, p]))) for p in range(P)) % q
+        for g in range(G)
+    ]
+    from mental_poker_tpu.utils.rand import ints_to_limbs
+
+    agg_sk = ints_to_limbs(agg_sk_int, fr.L)
+    agg_pk = cv.scalar_mul(jnp.asarray(agg_sk), gens)  # [G]
+
+    # NB: sigma_device treats 3-dim PointP bases as [W, T, L] window tables,
+    # so every per-statement base/statement batch here is FLATTENED to 2-dim
+    # [G*N] / [G*P*N] coords (identical math, unambiguous dispatch).
+    L = fr.L
+
+    def flat_b(Pt, reps):
+        # [G, L] -> [G*reps, L] with each game's point repeated `reps` times
+        return PointP(*(jnp.repeat(c, reps, axis=0) for c in Pt))
+
+    g_b = flat_b(gens, N)      # [G*N]
+    pk_b = flat_b(agg_pk, N)   # [G*N]
+    cards = elgamal.rand_plaintexts(cv, rng, G * N)  # [G*N]
+
+    def flow():
+        # ---- mask every deck + CP proofs + batched verify
+        alphas = jnp.asarray(rng.scalar_limbs(q, (G * N,), fr.L))
+        c0 = cv.scalar_mul(alphas, g_b)
+        c1 = cv.add(cards, cv.scalar_mul(alphas, pk_b))
+        stmt_b = cv.add(c1, cv.neg(cards))
+        st = dt.init(MASKING_RNG_SEED, (G * N,))
+        ks = jnp.asarray(rng.scalar_limbs(q, (G * N,), fr.L))
+        prf = sd.cp_prove_dev(cv, st, g_b, pk_b, c0, stmt_b, alphas, ks)
+        ok_mask = sd.cp_verify_dev(
+            cv, dt.init(MASKING_RNG_SEED, (G * N,)), g_b, pk_b, c0, stmt_b, prf
+        )
+
+        # ---- remask chain + CP + verify
+        betas = jnp.asarray(rng.scalar_limbs(q, (G * N,), fr.L))
+        r0 = cv.scalar_mul(betas, g_b)
+        r1 = cv.scalar_mul(betas, pk_b)
+        d0, d1 = cv.add(c0, r0), cv.add(c1, r1)
+        st = dt.init(REMASKING_RNG_SEED, (G * N,))
+        ks2 = jnp.asarray(rng.scalar_limbs(q, (G * N,), fr.L))
+        prf2 = sd.cp_prove_dev(cv, st, g_b, pk_b, r0, r1, betas, ks2)
+        ok_remask = sd.cp_verify_dev(
+            cv, dt.init(REMASKING_RNG_SEED, (G * N,)), g_b, pk_b, r0, r1, prf2
+        )
+
+        # ---- all 8 players' reveal tokens + CP + verify; unmask check
+        M = G * P * N
+
+        def per_player(Pt):  # [G*N] -> [G*P*N] (repeat deck per player)
+            return PointP(*(
+                jnp.repeat(c.reshape(G, 1, N, L), P, axis=1).reshape(M, L) for c in Pt
+            ))
+
+        d0_b = per_player(d0)
+        sk_b = jnp.broadcast_to(
+            jnp.asarray(sks)[:, :, None, :], (G, P, N, fr.L)
+        ).reshape(M, fr.L)
+        tokens = cv.scalar_mul(sk_b, d0_b)
+        g_bb = flat_b(gens, P * N)
+        pk_pl = PointP(*(
+            jnp.repeat(c[:, :, None], N, axis=2).reshape(M, L) for c in pks
+        ))
+        st = dt.init(REVEAL_RNG_SEED, (M,))
+        ks3 = jnp.asarray(rng.scalar_limbs(q, (M,), fr.L))
+        prf3 = sd.cp_prove_dev(cv, st, d0_b, g_bb, tokens, pk_pl, sk_b, ks3)
+        ok_reveal = sd.cp_verify_dev(
+            cv, dt.init(REVEAL_RNG_SEED, (M,)), d0_b, g_bb, tokens, pk_pl, prf3
+        )
+
+        # unmask: d1 - sum_p token_p recovers the original plaintexts
+        tok = PointP(*(c.reshape(G, P, N, L) for c in tokens))
+        tok_sum = cv.sum_points(tok, axis=1)  # [G, N]
+        flat_sum = PointP(*(c.reshape(G * N, L) for c in tok_sum))
+        plain = cv.add(cv.neg(flat_sum), d1)
+        ok_plain = cv.eq(plain, cards)
+        return ok_mask, ok_remask, ok_reveal, ok_plain
+
+    def one():
+        outs = flow()
+        jax.block_until_ready(outs)
+        for o in outs:
+            assert bool(np.asarray(o).all()), "multigame flow check failed"
+
+    one()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        one()
+    dt_s = (time.perf_counter() - t0) / reps
+    games_per_s = G / dt_s
+    return {
+        "metric": "multigame_8p_games_per_s",
+        "value": round(games_per_s, 3),
+        "unit": "games/s/chip",
+        "vs_baseline": round(games_per_s / 1.6, 4),
+    }
+
+
 def main():
     mode = os.environ.get("MPTPU_BENCH_MODE", "shuffle52")
     reps = int(os.environ.get("MPTPU_BENCH_REPS", "3"))
-    batch = int(os.environ.get("MPTPU_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("MPTPU_BENCH_BATCH", "128"))
     if mode == "msm":
         result = bench_msm(reps)
     elif mode == "deck1024":
         result = bench_deck1024(reps)
+    elif mode == "multigame":
+        result = bench_multigame(reps)
     else:
         result = bench_shuffle52(reps, batch)
     print(json.dumps(result))

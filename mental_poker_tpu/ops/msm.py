@@ -134,6 +134,14 @@ def _msm_impl(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int) -> PointP
     pts = PointP(g(table.x), g(table.y), g(table.z))
     S = cv.sum_points(pts, axis=pts.x.ndim - 2)  # [W, ..., L]
 
+    from .pallas import field as pallas_field
+
+    if pallas_field.use_pallas():
+        # whole fold VMEM-resident: one kernel instead of W*(c+1) dispatches
+        from .pallas import curve as pallas_curve
+
+        return pallas_curve.fold_windows(cv, S, c)
+
     # Horner fold, MSB window first: acc = 2^c * acc + S_w
     def body(acc, s):
         acc = jax.lax.fori_loop(0, c, lambda i, a: cv.dbl(a), acc)

@@ -138,6 +138,101 @@ def _consts_key(cv) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# window fold: acc = sum_w 2^(c*w) * S_w entirely in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _fold_kernel(p_ref, np_ref, a_ref, b3_ref, one_ref, sx, sy, sz, ox, oy, oz, *, L, W, c):
+    """Horner fold over W window sums, MSB window first: acc = 2^c*acc + S_w.
+
+    The accumulator lives in VMEM across all W*(c+1) point operations — the
+    XLA-level scan formulation paid one kernel dispatch + HBM round-trip per
+    point op (~1.5 ms each at proof-batch widths; W*(c+1) ~ 315 of them)."""
+    BT = sx.shape[-1]
+    pb = p_ref[:]
+    npb = np_ref[:]
+    am = a_ref[:]
+    b3m = b3_ref[:]
+    onem = one_ref[:]
+    zero = jnp.zeros((L, BT), jnp.uint32)
+    acc0 = (zero, zero + onem, zero)  # identity (0 : 1 : 0)
+
+    def add(P, Q):
+        return _rcb_add(*P, *Q, am, b3m, pb, npb, L, False)
+
+    def body(w, acc):
+        for _ in range(c):
+            acc = add(acc, acc)  # complete formulas: dbl == add(P, P)
+        s = (sx[w], sy[w], sz[w])
+        return add(acc, s)
+
+    x, y, z = jax.lax.fori_loop(0, W, body, acc0)
+    ox[:] = x
+    oy[:] = y
+    oz[:] = z
+
+
+@functools.cache
+def _build_fold(L: int, W: int, c: int, consts_key: bytes, one_key: bytes, BT: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cols = np.frombuffer(consts_key, dtype=np.uint32).reshape(4, L, 1)
+    one_col = np.frombuffer(one_key, dtype=np.uint32).reshape(L, 1)
+    kernel = functools.partial(_fold_kernel, L=L, W=W, c=c)
+
+    @jax.jit
+    def run(sx, sy, sz):  # [W, L, B] with B % BT == 0, MSB window first
+        B = sx.shape[-1]
+        grid = (B // BT,)
+        sspec = pl.BlockSpec((W, L, BT), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((L, BT), lambda i: (0, i), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((L, B), jnp.uint32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shp, shp, shp),
+            grid=grid,
+            in_specs=[cspec] * 5 + [sspec] * 3,
+            out_specs=(ospec, ospec, ospec),
+            interpret=interpret,
+        )(*(jnp.asarray(x) for x in cols), jnp.asarray(one_col), sx, sy, sz)
+
+    return run
+
+
+def fold_windows(cv, S, c: int, block_lanes: int = 256, interpret: bool | None = None):
+    """acc = sum_w 2^(c*w) * S_w for window sums S: PointP [W, ..., L]
+    (window 0 = least significant). Returns PointP [..., L]."""
+    from ..curve import PointP
+
+    if interpret is None:
+        from .field import available
+
+        interpret = not available()
+    L = cv.fq.L
+    W = S.x.shape[0]
+    batch = S.x.shape[1:-1]
+    B = int(np.prod(batch)) if batch else 1
+    BT = min(block_lanes, max(128, 1 << (B - 1).bit_length() if B > 1 else 128))
+    Bp = -(-B // BT) * BT
+
+    def prep(a):  # [W, ..., L] -> [W, L, Bp], MSB window first
+        a2 = jnp.flip(a.reshape(W, B, L), axis=0).transpose(0, 2, 1)
+        if Bp != B:
+            a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, Bp - B)))
+        return a2
+
+    run = _build_fold(
+        L, W, c, _consts_key(cv),
+        np.asarray(cv.fq.one_mont, np.uint32).tobytes(), BT, bool(interpret),
+    )
+    ox, oy, oz = run(prep(S.x), prep(S.y), prep(S.z))
+    post = lambda o: o[:, :B].T.reshape(batch + (L,))
+    return PointP(post(ox), post(oy), post(oz))
+
+
 def point_add(cv, P, Q, block_lanes: int = 512, interpret: bool | None = None):
     """Fused complete point addition, drop-in for `Curve.add`.
 

@@ -62,13 +62,15 @@ def _peak_kernel(L: int, BT: int):
     return run
 
 
-def _time(fn, args, reps):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time_fed(fn, x0, extra, reps):
+    """Time fn(a, x) with x fed back from the previous call — every rep sees
+    fresh data, so no relay/runtime layer can short-circuit repeated calls."""
+    x = fn(extra, x0)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        x = fn(extra, x)
+        jax.block_until_ready(x)
     return (time.perf_counter() - t0) / reps
 
 
@@ -78,20 +80,31 @@ def main():
 
     f = fm.stark_fq()
     L = f.L
-    B = int(os.environ.get("MPTPU_SOL_B", str(1 << 20)))  # 1M elements
-    reps = int(os.environ.get("MPTPU_SOL_REPS", "10"))
-    CH = int(os.environ.get("MPTPU_SOL_CHAIN", "8"))  # chained muls per call
+    B = int(os.environ.get("MPTPU_SOL_B", str(1 << 20)))
+    reps = int(os.environ.get("MPTPU_SOL_REPS", "5"))
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 1 << 16, (L, B), dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 1 << 16, (L, B), dtype=np.uint32))
 
-    # peak: multiply-only kernel, L^2 muls per element per call
-    peak_fn = _peak_kernel(L, 512)
-    dt_peak = _time(peak_fn, (a, b), reps)
-    peak_gmul = L * L * B / dt_peak / 1e9
+    # peak: multiply-only kernel, L^2 muls per element per chain step; the
+    # xor-fold output feeds back so reps can't be deduplicated. Delta-timing
+    # two chain lengths cancels dispatch/transfer overheads.
+    def peak_chain(K):
+        kern = _peak_kernel(L, 512)
 
-    # mont_mul kernel (chained so HBM in/out amortizes like real point ops)
+        @jax.jit
+        def run(a, x):
+            for _ in range(K):
+                x = kern(a, x)
+            return x
+
+        return run
+
+    d1 = _time_fed(peak_chain(8), b, a, reps)
+    d2 = _time_fed(peak_chain(40), b, a, reps)
+    peak_gmul = 32 * L * L * B / (d2 - d1) / 1e9
+
     run1 = pf._build(
         L,
         np.asarray(f.p_limbs, np.uint32).tobytes(),
@@ -100,17 +113,19 @@ def main():
         False,
     )
 
-    @jax.jit
-    def chain(a, b):
-        x = b
-        for _ in range(CH):
-            x = run1(a, x)
-        return x
+    def mm_chain(K):
+        @jax.jit
+        def run(a, x):
+            for _ in range(K):
+                x = run1(a, x)
+            return x
 
-    # valid Montgomery inputs: reduce the raw randoms once through the kernel
+        return run
+
     am = run1(a % jnp.uint32(1 << 15), b % jnp.uint32(1 << 15))
-    dt_mm = _time(chain, (am, am), reps)
-    useful_gmul = 2.5 * L * L * B * CH / dt_mm / 1e9
+    m1 = _time_fed(mm_chain(8), am, am, reps)
+    m2 = _time_fed(mm_chain(40), am, am, reps)
+    useful_gmul = 32 * 2.5 * L * L * B / (m2 - m1) / 1e9
     sol = useful_gmul / peak_gmul
 
     print(
@@ -122,7 +137,6 @@ def main():
                 "peak_gmul_per_s": round(peak_gmul, 1),
                 "mont_mul_useful_gmul_per_s": round(useful_gmul, 1),
                 "elements": B,
-                "chain": CH,
                 "limbs": L,
                 "backend": jax.default_backend(),
             }

@@ -54,3 +54,24 @@ def test_point_add_matches_jnp_and_host():
     assert got[5] == cv.host.identity  # 0 + 0 == 0
     assert got[6] == cv.host.identity  # P + (-P) == 0
     assert got[7:] == [cv.host.add(a, a) for a in hp]  # doubling
+
+
+def test_fold_windows_matches_scan():
+    """VMEM-resident Horner window fold == the XLA scan formulation."""
+    import jax
+
+    cv = curve_mod.stark_curve()
+    rng = GameRng(5)
+    W, B, c = 5, 3, 4
+    hp = [[cv.host.rand_point(rng.rng) for _ in range(B)] for _ in range(W)]
+    S = PointP(*(jnp.stack([q[i] for q in map(cv.from_host_points, hp)], 0)
+                 for i in range(3)))
+    out = pc.fold_windows(cv, S, c, interpret=True)
+    # host reference: sum_w 2^(c*w) * S_w
+    want = []
+    for b in range(B):
+        acc = cv.host.identity
+        for w in range(W):
+            acc = cv.host.add(acc, cv.host.mul(1 << (c * w), hp[w][b]))
+        want.append(acc)
+    assert cv.to_host_points(out) == want
