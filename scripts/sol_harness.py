@@ -101,9 +101,12 @@ def main():
 
         return run
 
-    d1 = _time_fed(peak_chain(8), b, a, reps)
-    d2 = _time_fed(peak_chain(40), b, a, reps)
-    peak_gmul = 32 * L * L * B / (d2 - d1) / 1e9
+    # One LONG chain per call (K*work >> dispatch/transfer overheads); the
+    # short-chain time is subtracted to cancel the constant per-call cost.
+    K_LONG, K_SHORT = 64, 4
+    p_long = _time_fed(peak_chain(K_LONG), b, a, reps)
+    p_short = _time_fed(peak_chain(K_SHORT), b, a, reps)
+    peak_gmul = (K_LONG - K_SHORT) * L * L * B / max(p_long - p_short, 1e-9) / 1e9
 
     run1 = pf._build(
         L,
@@ -123,9 +126,11 @@ def main():
         return run
 
     am = run1(a % jnp.uint32(1 << 15), b % jnp.uint32(1 << 15))
-    m1 = _time_fed(mm_chain(8), am, am, reps)
-    m2 = _time_fed(mm_chain(40), am, am, reps)
-    useful_gmul = 32 * 2.5 * L * L * B / (m2 - m1) / 1e9
+    m_long = _time_fed(mm_chain(K_LONG), am, am, reps)
+    m_short = _time_fed(mm_chain(K_SHORT), am, am, reps)
+    useful_gmul = (
+        (K_LONG - K_SHORT) * 2.5 * L * L * B / max(m_long - m_short, 1e-9) / 1e9
+    )
     sol = useful_gmul / peak_gmul
 
     print(
@@ -139,6 +144,7 @@ def main():
                 "elements": B,
                 "limbs": L,
                 "backend": jax.default_backend(),
+                "raw_s": {"peak_long": round(p_long, 4), "peak_short": round(p_short, 4), "mm_long": round(m_long, 4), "mm_short": round(m_short, 4)},
             }
         )
     )
