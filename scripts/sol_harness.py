@@ -62,15 +62,22 @@ def _peak_kernel(L: int, BT: int):
     return run
 
 
+def _sync(x):
+    # block_until_ready returns early through the axon relay (observed:
+    # 64-deep kernel chains "completing" in 0.1 ms); a device_get of one
+    # element is the only reliable execution barrier there.
+    np.asarray(jax.device_get(x[:1, :1]))
+
+
 def _time_fed(fn, x0, extra, reps):
     """Time fn(a, x) with x fed back from the previous call — every rep sees
     fresh data, so no relay/runtime layer can short-circuit repeated calls."""
     x = fn(extra, x0)
-    jax.block_until_ready(x)
+    _sync(x)
     t0 = time.perf_counter()
     for _ in range(reps):
         x = fn(extra, x)
-        jax.block_until_ready(x)
+        _sync(x)
     return (time.perf_counter() - t0) / reps
 
 
