@@ -143,12 +143,16 @@ def bench_msm(reps: int) -> dict:
     k = ints_to_limbs([rng.scalar(cv.host.order) for _ in range(NPTS)], cv.fr.L)
 
     f = jax.jit(lambda P, s: msm_mod.msm(cv, P, s))
+
+    def sync(o):  # device_get barrier: block_until_ready returns early on
+        np.asarray(jax.device_get(o.x[..., :1]))  # the relay backend
+
     out = f(pts, k)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(pts, k)
-        jax.block_until_ready(out)
+        sync(out)
     dt = (time.perf_counter() - t0) / reps
     pps = NPTS / dt
     # arkworks CPU Pippenger ~ 6 us/point at 2^10 (252-bit) => ~170k pts/s
