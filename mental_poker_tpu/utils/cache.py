@@ -80,8 +80,10 @@ def _patch_cache_write_isolated() -> None:
 
         with _warnings.catch_warnings():
             # the fork is deliberate: the child only serializes+writes and
-            # _exit(0)s; it never touches JAX thread state (see docstring)
+            # _exit(0)s; it never touches JAX thread state (see docstring).
+            # JAX warns RuntimeWarning; CPython 3.12 adds DeprecationWarning.
             _warnings.simplefilter("ignore", RuntimeWarning)
+            _warnings.simplefilter("ignore", DeprecationWarning)
             pid = _os.fork()
         if pid == 0:
             # child: bounded lifetime, quiet death on the XLA serialize bug
