@@ -56,7 +56,9 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
     from mental_poker_tpu.utils.rand import GameRng, ints_to_limbs
 
     # Smoke mode (scripts/ci.sh): tiny shape so the CPU backend compiles fast.
-    m, n = (2, 4) if os.environ.get("MPTPU_BENCH_SMOKE") else (2, 26)
+    from mental_poker_tpu.config import get_config
+
+    m, n = (2, 4) if get_config().bench_smoke else (2, 26)
     N = m * n
     proto = DLCards()
     rng = GameRng(1234)
@@ -102,7 +104,7 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
         assert ok, "bench proof failed to verify"
 
     one()  # warmup / compile
-    prof_dir = os.environ.get("MPTPU_PROFILE")
+    prof_dir = get_config().profile_dir
     if prof_dir:
         with jax.profiler.trace(prof_dir):
             one()
@@ -111,7 +113,9 @@ def bench_shuffle52(reps: int, batch: int) -> dict:
         one()
     dt = (time.perf_counter() - t0) / reps
     pairs_per_s = batch / dt
-    if os.environ.get("MPTPU_STAGE_TIMING"):
+    from mental_poker_tpu.config import get_config
+
+    if get_config().stage_timing:
         print(f"# prove+verify: {dt*1e3:.1f} ms per {batch}-deck batch", file=sys.stderr)
         for key, steady_ms, calls, first in staged.stage_report():
             print(
@@ -377,9 +381,10 @@ def bench_multigame(reps: int) -> dict:
 
 
 def main():
-    mode = os.environ.get("MPTPU_BENCH_MODE", "shuffle52")
-    reps = int(os.environ.get("MPTPU_BENCH_REPS", "3"))
-    batch = int(os.environ.get("MPTPU_BENCH_BATCH", "128"))
+    from mental_poker_tpu.config import get_config
+
+    cfg = get_config()
+    mode, reps, batch = cfg.bench_mode, cfg.bench_reps, cfg.bench_batch
     if mode == "msm":
         result = bench_msm(reps)
     elif mode == "deck1024":

@@ -111,7 +111,9 @@ def _prog(key, builder):
     fn = _PROGS.get(key)
     if fn is None:
         jfn = jax.jit(builder())
-        if os.environ.get("MPTPU_STAGE_TIMING"):
+        from ..config import get_config
+
+        if get_config().stage_timing:
 
             def timed(*a, _jfn=jfn, _key=key, **kw):
                 t0 = time.perf_counter()

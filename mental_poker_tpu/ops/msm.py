@@ -157,8 +157,14 @@ _BUILD_CACHE: dict = {}
 
 # Fixed-base window width: 8 halves the per-multiply gather count (W=32 vs
 # 63) at 16x the one-time per-game table-build work — the right trade on TPU.
-# CPU CI keeps 4 so per-test game setups stay cheap.
-DEFAULT_FIXED_WINDOW = int(os.environ.get("MPTPU_FIXED_WINDOW", "4"))
+# CPU CI keeps 4 so per-test game setups stay cheap. Configured via
+# config.RuntimeConfig.fixed_window_bits (MPTPU_FIXED_WINDOW).
+
+
+def default_fixed_window() -> int:
+    from ..config import get_config
+
+    return get_config().fixed_window_bits
 
 
 def build_window_tables(cv: Curve, bases: PointP, c: int | None = None) -> PointP:
@@ -174,7 +180,7 @@ def build_window_tables(cv: Curve, bases: PointP, c: int | None = None) -> Point
     baked into the program as constants: one compiled program per (curve, n)
     serves every game/session via the persistent compile cache.
     """
-    c = DEFAULT_FIXED_WINDOW if c is None else c
+    c = default_fixed_window() if c is None else c
     key = (id(cv), c)
     fn = _BUILD_CACHE.get(key)
     if fn is None:
@@ -264,7 +270,7 @@ class FixedBaseTable:
     """
 
     def __init__(self, cv: Curve, host_point, c: int | None = None):
-        c = DEFAULT_FIXED_WINDOW if c is None else c
+        c = default_fixed_window() if c is None else c
         self.cv = cv
         self.c = c
         self.nbits = cv.fr.bits
@@ -303,7 +309,7 @@ class FixedBaseMSM:
     device and passed as jit arguments (see `FixedBaseTable`)."""
 
     def __init__(self, cv: Curve, host_points, c: int | None = None):
-        c = DEFAULT_FIXED_WINDOW if c is None else c
+        c = default_fixed_window() if c is None else c
         self.cv = cv
         self.c = c
         self.nbits = cv.fr.bits

@@ -167,13 +167,13 @@ def available() -> bool:
 
 def use_pallas() -> bool:
     """Trace-time switch for the fused field/point kernels: on for TPU
-    backends; MPTPU_PALLAS=0/1 overrides (1 = interpret mode off-TPU,
-    test-only). Shared by `Field.mont_mul` and `Curve.add`."""
-    env = os.environ.get("MPTPU_PALLAS")
-    if env == "0":
-        return False
-    if env == "1":
-        return True
+    backends; config.pallas / MPTPU_PALLAS=0/1 overrides (1 = interpret
+    mode off-TPU, test-only). Shared by `Field.mont_mul` and `Curve.add`."""
+    from ...config import get_config
+
+    cfg = get_config().pallas
+    if cfg is not None:
+        return cfg
     return available()
 
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..crypto import elgamal, pedersen, sigma
+from ..crypto import elgamal, sigma
+from . import api
 from ..crypto.elgamal import Ciphertexts
 from ..crypto.errors import CardProtocolError, CryptoError
 from ..crypto.transcript import (
@@ -68,24 +69,31 @@ class Parameters:
         return self.m * self.n
 
 
-class DLCards:
-    """The discrete-log instantiation (`DLCards<C>`, `mod.rs:33-35`)."""
+class DLCards(api.BarnettSmartProtocol, api.Mask, api.Remask, api.Reveal):
+    """The discrete-log instantiation (`DLCards<C>`, `mod.rs:33-35`) of the
+    abstract `BarnettSmartProtocol` trait (protocol/api.py <- lib.rs:41-198).
 
-    def __init__(self, cv=None):
+    Associated-type bindings (`mod.rs:87-103`): Enc = ElGamalScheme,
+    Comm = PedersenScheme; swap either by passing a different
+    `HomomorphicEncryptionScheme` / `HomomorphicCommitmentScheme`."""
+
+    def __init__(self, cv=None, enc_scheme=None, comm_scheme=None):
         self.cv = cv or curve_mod.stark_curve()
+        self.enc_scheme = enc_scheme or api.ElGamalScheme()
+        self.comm_scheme = comm_scheme or api.PedersenScheme()
 
     # ------------------------------------------------------------- ceremony
     def setup(self, rng: GameRng, m: int, n: int) -> Parameters:
         """`mod.rs:105-121`: ElGamal setup + Pedersen setup(n) + generator."""
         cv = self.cv
-        enc = elgamal.setup(cv, rng)
-        commit_key = pedersen.setup(cv, rng, n)
+        enc = self.enc_scheme.setup(cv, rng)
+        commit_key = self.comm_scheme.setup(cv, rng, n)
         shuffle_generator = cv.host.rand_point(rng.rng)
         return Parameters(cv, m, n, enc, commit_key, shuffle_generator)
 
     def player_keygen(self, rng: GameRng, pp: Parameters):
         """-> (pk_host, sk_int) (`mod.rs:123-130`)."""
-        return elgamal.keygen(pp.enc, rng)
+        return self.enc_scheme.keygen(pp.enc, rng)
 
     def prove_key_ownership(self, rng, pp, pk, sk, player_public_info: bytes):
         """Schnorr proof bound to the player's public info (`mod.rs:132-149`)."""
@@ -125,7 +133,7 @@ class DLCards:
         cv = pp.cv
         shape = cards.x.shape[:-1]
         a_limbs = ints_to_limbs(alphas, cv.fr.L).reshape(shape + (cv.fr.L,))
-        masked = elgamal.encrypt(pp.enc, shared_key.table, cards, a_limbs)
+        masked = self.enc_scheme.encrypt(pp.enc, shared_key.table, cards, a_limbs)
         stmt_b = cv.add(masked.c1, cv.neg(cards))
         B = int(np.prod(shape)) if shape else 1
         ts = TranscriptBatch.fixed(MASKING_RNG_SEED, B)
@@ -150,9 +158,9 @@ class DLCards:
         cv = pp.cv
         shape = original.c0.x.shape[:-1]
         a_limbs = ints_to_limbs(alphas, cv.fr.L).reshape(shape + (cv.fr.L,))
-        zero_enc = elgamal.encrypt_zero(pp.enc, shared_key.table, a_limbs)
-        remasked = elgamal.cipher_add(cv, original, zero_enc)
-        stmt = elgamal.cipher_sub(cv, remasked, original)
+        zero_enc = self.enc_scheme.encrypt_zero(pp.enc, shared_key.table, a_limbs)
+        remasked = self.enc_scheme.add(cv, original, zero_enc)
+        stmt = self.enc_scheme.sub(cv, remasked, original)
         B = int(np.prod(shape)) if shape else 1
         ts = TranscriptBatch.fixed(REMASKING_RNG_SEED, B)
         proof = sigma.cp_prove(
@@ -163,7 +171,7 @@ class DLCards:
     def verify_remask(self, pp, shared_key, original: Ciphertexts, remasked: Ciphertexts, proof):
         cv = pp.cv
         shape = original.c0.x.shape[:-1]
-        stmt = elgamal.cipher_sub(cv, remasked, original)
+        stmt = self.enc_scheme.sub(cv, remasked, original)
         B = int(np.prod(shape)) if shape else 1
         ts = TranscriptBatch.fixed(REMASKING_RNG_SEED, B)
         sigma.cp_verify(cv, pp.enc.gen_table, shared_key.table, stmt.c0, stmt.c1, proof, ts)
@@ -204,7 +212,7 @@ class DLCards:
             except CryptoError as e:
                 raise CardProtocolError(e) from e
             agg = token if agg is None else cv.add(agg, token)
-        return cv.add(cv.neg(agg), masked.c1)
+        return self.reveal_cards(agg, masked)
 
     # ------------------------------------------------------------- shuffle
     def shuffle_and_remask(
@@ -275,6 +283,28 @@ class DLCards:
             cv, pp.m, pp.n, keys, bat(original), bat(shuffled), dev_proof
         )
         device_api.raise_by_flags(checks)
+
+    # ---------------------------------------------- Mask/Remask/Reveal traits
+    def mask_cards(self, pp, shared_key, cards: PointP, r) -> Ciphertexts:
+        """`Card::mask` = ElGamal encrypt (`masking.rs:10-20`), proof-free."""
+        cv = pp.cv
+        shape = cards.x.shape[:-1]
+        r_limbs = ints_to_limbs(r, cv.fr.L).reshape(shape + (cv.fr.L,))
+        return self.enc_scheme.encrypt(pp.enc, shared_key.table, cards, r_limbs)
+
+    def remask_cards(self, pp, shared_key, masked: Ciphertexts, r) -> Ciphertexts:
+        """`MaskedCard::remask` = add an encryption of zero
+        (`remasking.rs:15-21`), proof-free."""
+        cv = pp.cv
+        shape = masked.c0.x.shape[:-1]
+        r_limbs = ints_to_limbs(r, cv.fr.L).reshape(shape + (cv.fr.L,))
+        zero_enc = self.enc_scheme.encrypt_zero(pp.enc, shared_key.table, r_limbs)
+        return self.enc_scheme.add(cv, masked, zero_enc)
+
+    def reveal_cards(self, aggregate_token: PointP, masked: Ciphertexts) -> PointP:
+        """`RevealToken::reveal` = -token + c1 (`reveal.rs:14-18`)."""
+        cv = self.cv
+        return cv.add(cv.neg(aggregate_token), masked.c1)
 
     # ------------------------------------------------------------- helpers
     def _broadcast_host_point(self, hp, shape) -> PointP:

@@ -127,7 +127,9 @@ def enable_persistent_cache(path: str | None = None) -> None:
     raise_map_count()
     _patch_cache_write_isolated()
 
-    path = path or os.environ.get("MPTPU_CACHE_DIR", _DEFAULT)
+    from ..config import get_config
+
+    path = path or get_config().cache_dir or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -87,8 +87,11 @@ def main():
 
     f = fm.stark_fq()
     L = f.L
-    B = int(os.environ.get("MPTPU_SOL_B", str(1 << 20)))
-    reps = int(os.environ.get("MPTPU_SOL_REPS", "5"))
+    from mental_poker_tpu.config import get_config
+
+    cfg = get_config()
+    B = cfg.sol_batch
+    reps = cfg.sol_reps
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 1 << 16, (L, B), dtype=np.uint32))
