@@ -49,3 +49,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mental_poker_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests (canonical shapes, multi-process)"
+    )
