@@ -39,3 +39,37 @@ def test_bls_mask_reveal_roundtrip():
     with pytest.raises(ProofVerificationError) as ei:
         proto.verify_reveal(pp, pk, bad, masked, tproof)
     assert ei.value.name == CHAUM_PEDERSEN
+
+
+def test_bls_bayer_groth_shuffle():
+    """The FULL staged Bayer-Groth shuffle argument on BLS12-377 — the
+    reference's benchmark-curve workload (`parameter_selection.rs:25,81-88`).
+    Pins curve-genericity of the whole argument stack (commit -> challenges ->
+    Hadamard/zero/SVP/product -> multi-exp) rather than asserting it."""
+    import numpy as np
+
+    from mental_poker_tpu.crypto.errors import HADAMARD
+
+    proto = DLCards(curve_mod.bls12_377_g1())
+    rng = GameRng(18)
+    m, n = 2, 2
+    N = m * n
+    pp = proto.setup(rng, m, n)
+    pk, sk = proto.player_keygen(rng, pp)
+    kproof = proto.prove_key_ownership(rng, pp, pk, sk, b"bls")
+    agg = proto.compute_aggregate_key(pp, [(pk, kproof, b"bls")])
+
+    deck = elgamal.rand_ciphertexts(proto.cv, rng, N)
+    rho = [rng.scalar(proto.cv.host.order) for _ in range(N)]
+    pi = rng.permutation(N)
+    shuffled, proof = proto.shuffle_and_remask(
+        rng, pp, agg, deck, rho, pi, device_proof=True
+    )
+    proto.verify_shuffle(pp, agg, deck, shuffled, proof)
+
+    # negative: substituting a random output deck must fail Hadamard-first,
+    # exactly as tests.rs:213-226
+    bogus = elgamal.rand_ciphertexts(proto.cv, rng, N)
+    with pytest.raises(ProofVerificationError) as ei:
+        proto.verify_shuffle(pp, agg, deck, bogus, proof)
+    assert ei.value.name == HADAMARD
