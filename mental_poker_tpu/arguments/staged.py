@@ -96,6 +96,12 @@ _PROGS: dict = {}
 # (or persistent-cache load); steady-state cost is (total - first)/(calls - 1).
 STAGE_TIMES: dict = {}
 
+# Debug switch: when True, verify() returns (ShuffleChecks, dict of the raw
+# sub-check flags) so a failing flag can be localized without re-deriving the
+# whole verifier by hand. Keyed into the program cache, so flipping it only
+# recompiles the (tiny) flags program.
+DEBUG_FLAGS = False
+
 
 def stage_report() -> list:
     """[(key, steady_ms_per_call, calls, first_s)] sorted by total steady time."""
@@ -885,11 +891,18 @@ class StagedShuffle:
                     & ok_em
                     & ok_idme
                 )
-                return ShuffleChecks(had_ok, svp_ok, me_ok)
+                checks = ShuffleChecks(had_ok, svp_ok, me_ok)
+                if debug:
+                    return checks, {
+                        "pairs": ok_pairs, "e": ok_e, "em": ok_em,
+                        "idzero": ok_idzero, "idme": ok_idme, "svp": svp_flag,
+                    }
+                return checks
 
             return run
 
-        return _prog(self._k("flags"), build)
+        debug = DEBUG_FLAGS
+        return _prog(self._k("flags", debug), build)
 
     def verify(
         self,

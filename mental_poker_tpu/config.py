@@ -36,6 +36,7 @@ class RuntimeConfig:
     # --- kernel / compile ---
     cache_dir: str | None = None          # MPTPU_CACHE_DIR (None = repo .jax_cache)
     pallas: bool | None = None            # MPTPU_PALLAS: None = auto (TPU only)
+    pallas_msm: bool = True               # MPTPU_PALLAS_MSM: lane MSM kernel
     fixed_window_bits: int = 4            # MPTPU_FIXED_WINDOW (bench sets 8)
     # --- observability ---
     stage_timing: bool = False            # MPTPU_STAGE_TIMING
@@ -57,6 +58,7 @@ class RuntimeConfig:
         return cls(
             cache_dir=os.environ.get("MPTPU_CACHE_DIR") or None,
             pallas=_env_bool("MPTPU_PALLAS", None),
+            pallas_msm=bool(_env_bool("MPTPU_PALLAS_MSM", True)),
             fixed_window_bits=int(
                 os.environ.get("MPTPU_FIXED_WINDOW", d.fixed_window_bits)
             ),

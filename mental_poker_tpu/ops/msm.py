@@ -76,25 +76,40 @@ def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
 
     points: PointP coords [..., N, L]; scalars: canonical limbs [..., N, L].
     Returns PointP [..., L].
+
+    On TPU (use_pallas), the whole MSM runs in the VMEM-resident lane kernel
+    (ops/pallas/msm.py) — statements on lanes, no [W, B, N, L] gather
+    materialization. The jnp gather path remains the CPU/portability route.
     """
-    key = (id(cv), c)
-    fn = _MSM_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(lambda P, s: _msm_impl(cv, P, s, c))
-        _MSM_CACHE[key] = fn
-    # Canonicalize: flatten batch and pad N to powers of two so callers share
-    # compiled programs. Padding points are (0,0,0) with zero scalars: digit 0
-    # gathers the table's identity entry, and adding the identity is exact
-    # under the complete formulas — padded lanes cannot perturb the sum.
+    from .pallas import field as pallas_field
+
     L = scalars.shape[-1]
     fL = points.x.shape[-1]
     N = points.x.shape[-2]
     batch = jnp.broadcast_shapes(points.x.shape[:-2], scalars.shape[:-2])
     B = int(np.prod(batch)) if batch else 1
-    Bp = 1 if B <= 1 else 1 << (B - 1).bit_length()
-    Np = 1 if N <= 1 else 1 << (N - 1).bit_length()
     k = jnp.broadcast_to(scalars, batch + (N, L)).reshape(B, N, L)
     P = PointP(*(jnp.broadcast_to(q, batch + (N, fL)).reshape(B, N, fL) for q in points))
+
+    from ..config import get_config
+
+    if pallas_field.use_pallas() and get_config().pallas_msm:
+        from .pallas import msm as pallas_msm
+
+        out = pallas_msm.msm_lanes(cv, P, k, c)
+        return PointP(*(q.reshape(batch + (fL,)) for q in out))
+
+    key = (id(cv), c)
+    fn = _MSM_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda P, s: _msm_impl(cv, P, s, c))
+        _MSM_CACHE[key] = fn
+    # Canonicalize: pad flat batch and N to powers of two so callers share
+    # compiled programs. Padding points are (0,0,0) with zero scalars: digit 0
+    # gathers the table's identity entry, and adding the identity is exact
+    # under the complete formulas — padded lanes cannot perturb the sum.
+    Bp = 1 if B <= 1 else 1 << (B - 1).bit_length()
+    Np = 1 if N <= 1 else 1 << (N - 1).bit_length()
     if Np != N:
         k = jnp.concatenate([k, jnp.zeros((B, Np - N, L), k.dtype)], 1)
         P = PointP(*(jnp.concatenate([q, jnp.zeros((B, Np - N, fL), q.dtype)], 1) for q in P))
