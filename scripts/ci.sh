@@ -21,8 +21,12 @@ python -m pytest tests/test_field.py tests/test_curve.py tests/test_transcript.p
 
 if [[ "${1:-}" == "--fast" ]]; then exit 0; fi
 
-echo "== [2/4] full suite"
-python -m pytest tests/ -q -p no:cacheprovider
+echo "== [2/4] full suite (slow-marked tests excluded; MPTPU_CI_SLOW=1 adds them)"
+python -m pytest tests/ -q -m "not slow" -p no:cacheprovider
+if [[ "${MPTPU_CI_SLOW:-}" == "1" ]]; then
+  echo "== [2b] slow tests (canonical shapes / interpret-mode kernels)"
+  python -m pytest tests/ -q -m slow -p no:cacheprovider
+fi
 fi
 
 echo "== [3/4] bench smoke (CPU, tiny shape)"

@@ -24,7 +24,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
 def test_two_process_global_mesh_sharded_step():
     port = _free_port()
     env = {
