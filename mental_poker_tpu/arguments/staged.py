@@ -598,7 +598,9 @@ class StagedShuffle:
                     jnp.concatenate([g0.y, g1.y], 1),
                     jnp.concatenate([g0.z, g1.z], 1),
                 )
-                dboth = msm_mod.msm(cv, gboth, jnp.concatenate([scal, scal], 1))
+                dboth = msm_mod.msm(
+                    cv, gboth, jnp.concatenate([scal, scal], 1), engine="lanes"
+                )
                 d0 = PointP(dboth.x[:, : 2 * m], dboth.y[:, : 2 * m], dboth.z[:, : 2 * m])
                 d1 = PointP(dboth.x[:, 2 * m :], dboth.y[:, 2 * m :], dboth.z[:, 2 * m :])
                 e0 = cv.add(bl0, d0)

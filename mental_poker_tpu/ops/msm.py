@@ -70,16 +70,31 @@ def build_tables(cv: Curve, P: PointP, c: int = 4) -> PointP:
 _MSM_CACHE: dict = {}
 
 
-def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
+def msm(
+    cv: Curve,
+    points: PointP,
+    scalars: jnp.ndarray,
+    c: int = 4,
+    engine: str | None = None,
+) -> PointP:
     """sum_i scalars[i] * points[i] over the second-to-last axis (jitted,
     cached per curve/window).
 
     points: PointP coords [..., N, L]; scalars: canonical limbs [..., N, L].
     Returns PointP [..., L].
 
-    On TPU (use_pallas), the whole MSM runs in the VMEM-resident lane kernel
-    (ops/pallas/msm.py) — statements on lanes, no [W, B, N, L] gather
-    materialization. The jnp gather path remains the CPU/portability route.
+    `engine` (TPU only; CPU always takes the gather path):
+      "lanes"  — the VMEM-resident Pallas lane kernel (ops/pallas/msm.py):
+                 statements on lanes, per-point sequential work. Wins when
+                 per-statement latency or the [W,B,N,L] gather's HBM traffic
+                 dominates (multi-exp diagonal prep; small batches); also the
+                 workaround for the B=1 me_prep XLA:TPU miscompile
+                 (docs/PERF.md).
+      "gather" — the XLA path: per-point tables + one wide gather + N-axis
+                 tree-sum + the Pallas window fold.
+      None     — "lanes" on TPU (A/B at B=128, v5e: lanes 15.6 pairs/s vs
+                 gather 12.7; me_prep 272 ms vs 3913 ms, combos ~equal).
+    Config kill-switch: config.pallas_msm=False forces gather everywhere.
     """
     from .pallas import field as pallas_field
 
@@ -93,7 +108,12 @@ def msm(cv: Curve, points: PointP, scalars: jnp.ndarray, c: int = 4) -> PointP:
 
     from ..config import get_config
 
-    if pallas_field.use_pallas() and get_config().pallas_msm:
+    if (
+        engine != "gather"
+        and pallas_field.use_pallas()
+        and get_config().pallas_msm
+        and B >= 2
+    ):
         from .pallas import msm as pallas_msm
 
         out = pallas_msm.msm_lanes(cv, P, k, c)
