@@ -92,8 +92,11 @@ def msm(
                  (docs/PERF.md).
       "gather" — the XLA path: per-point tables + one wide gather + N-axis
                  tree-sum + the Pallas window fold.
-      None     — "lanes" on TPU (A/B at B=128, v5e: lanes 15.6 pairs/s vs
-                 gather 12.7; me_prep 272 ms vs 3913 ms, combos ~equal).
+      None     — "lanes" on TPU when the flat statement count fills lanes
+                 (>= 64; A/B at B=128, v5e: lanes 26.0 pairs/s warm vs
+                 gather 12.7), else "gather" (at S=4 the lane kernel's
+                 per-point sequential chain ran 1451 ms vs the gather
+                 path's wide-N parallelism — measured at B=1).
     Config kill-switch: config.pallas_msm=False forces gather everywhere.
     """
     from .pallas import field as pallas_field
@@ -109,7 +112,7 @@ def msm(
     from ..config import get_config
 
     if (
-        engine != "gather"
+        (engine == "lanes" or (engine is None and B >= 64))
         and pallas_field.use_pallas()
         and get_config().pallas_msm
         and B >= 2
