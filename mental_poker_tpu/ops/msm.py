@@ -92,11 +92,10 @@ def msm(
                  (docs/PERF.md).
       "gather" — the XLA path: per-point tables + one wide gather + N-axis
                  tree-sum + the Pallas window fold.
-      None     — "lanes" on TPU when the flat statement count fills lanes
-                 (>= 64; A/B at B=128, v5e: lanes 26.0 pairs/s warm vs
-                 gather 12.7), else "gather" (at S=4 the lane kernel's
-                 per-point sequential chain ran 1451 ms vs the gather
-                 path's wide-N parallelism — measured at B=1).
+      None     — "lanes" on TPU (A/B on v5e: B=128 headline 26.0 pairs/s
+                 warm vs 12.7 on gather; even at B=1's 4-lane combos the
+                 lane kernel measured 1451 ms vs gather's 1737 ms — the
+                 sequential window fold dominates both at tiny widths).
     Config kill-switch: config.pallas_msm=False forces gather everywhere.
     """
     from .pallas import field as pallas_field
@@ -112,7 +111,7 @@ def msm(
     from ..config import get_config
 
     if (
-        (engine == "lanes" or (engine is None and B >= 64))
+        engine != "gather"
         and pallas_field.use_pallas()
         and get_config().pallas_msm
         and B >= 2
