@@ -162,6 +162,12 @@ def _build_msm(
             out_specs=(ospec, ospec, ospec),
             scratch_shapes=[pltpu.VMEM((L, Wp, BT), jnp.uint32)] * 3
             + [pltpu.VMEM((Wp, L, BT), jnp.uint32)] * 3,
+            # multi-block grids double-buffer the per-point input windows,
+            # pushing peak VMEM past the 16 MB default scoped limit (measured
+            # 18.3 MB at N=52, 8 blocks); v5e has headroom — raise the cap.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             *(jnp.asarray(q) for q in cols),
