@@ -181,7 +181,7 @@ class ShuffleArgument(ArgumentOfKnowledge):
         deck_in, deck_out = statement
         permutation, masking_factors = witness
         return shuffle_arg.prove(
-            pp, shared_key, deck_in, deck_out, permutation, masking_factors, rng
+            rng, pp, shared_key, deck_in, deck_out, permutation, masking_factors, ts
         )
 
     def verify(self, params, statement, proof, ts):
@@ -189,7 +189,7 @@ class ShuffleArgument(ArgumentOfKnowledge):
 
         pp, shared_key = params
         deck_in, deck_out = statement
-        shuffle_arg.verify(pp, shared_key, deck_in, deck_out, proof)
+        shuffle_arg.verify(pp, shared_key, deck_in, deck_out, proof, ts)
 
 
 # ---------------------------------------------------------------------------

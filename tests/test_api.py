@@ -81,6 +81,40 @@ def test_argument_of_knowledge_adapters():
         )
 
 
+def test_shuffle_argument_adapter_roundtrip():
+    """ShuffleArgument adapter (E8 via the E5 trait, mod.rs:409-415,437-442):
+    host prove -> host verify round-trips, and a substituted output deck fails
+    with the reference's Hadamard-first error (tests.rs:213-226). This is also
+    the direct CI caller of the host Bayer-Groth prover
+    (arguments/shuffle.py::prove)."""
+    from mental_poker_tpu.crypto import elgamal
+    from mental_poker_tpu.crypto.transcript import SHUFFLE_RNG_SEED
+
+    d = DLCards()
+    rng = GameRng(9)
+    m, n = 2, 2
+    pp = d.setup(rng, m, n)
+    pk, sk = d.player_keygen(rng, pp)
+    proof_k = d.prove_key_ownership(rng, pp, pk, sk, b"P")
+    agg = d.compute_aggregate_key(pp, [(pk, proof_k, b"P")])
+
+    N = m * n
+    deck = elgamal.rand_ciphertexts(d.cv, rng, N)
+    pi = rng.permutation(N)
+    rho = [rng.scalar(d.cv.host.order) for _ in range(N)]
+    shuffled, _ = d.shuffle_and_remask(rng, pp, agg, deck, rho, pi)
+
+    arg = api.ShuffleArgument()
+    params = (pp, agg)
+    ts = TranscriptBatch.fixed(SHUFFLE_RNG_SEED, 1)
+    proof = arg.prove(params, (deck, shuffled), (pi, rho), ts, rng)
+    arg.verify(params, (deck, shuffled), proof, TranscriptBatch.fixed(SHUFFLE_RNG_SEED, 1))
+    # substituted output deck fails Hadamard-first, as tests.rs:213-226
+    bogus = elgamal.rand_ciphertexts(d.cv, GameRng(123), N)
+    with pytest.raises(ProofVerificationError, match="Hadamard"):
+        arg.verify(params, (deck, bogus), proof, TranscriptBatch.fixed(SHUFFLE_RNG_SEED, 1))
+
+
 def test_mask_remask_reveal_traits_roundtrip():
     """Card-op traits (lib.rs:16-36): mask -> remask -> aggregate-token reveal
     recovers the plaintext without the proof machinery."""
