@@ -113,6 +113,11 @@ def stage_report() -> list:
     return rows
 
 
+# True while a FUSED whole-prove/verify program is being traced: stage
+# wrappers must not fence/time tracers (see StagedShuffle.prove docstring).
+_FUSING = [False]
+
+
 def _prog(key, builder):
     fn = _PROGS.get(key)
     if fn is None:
@@ -122,6 +127,8 @@ def _prog(key, builder):
         if get_config().stage_timing:
 
             def timed(*a, _jfn=jfn, _key=key, **kw):
+                if _FUSING[0]:
+                    return _jfn(*a, **kw)
                 t0 = time.perf_counter()
                 out = _jfn(*a, **kw)
                 jax.block_until_ready(out)
@@ -651,6 +658,47 @@ class StagedShuffle:
         rho_c: jnp.ndarray,  # canonical [B, N, L]
         rand: ShuffleRand,  # leaves with [B] leading dim
     ) -> ShuffleProofDev:
+        """Batch-first prove. B > fuse_b_max: the ~20-stage dispatch sequence
+        (throughput mode — dispatch cost amortizes over the batch). B <=
+        fuse_b_max (config, MPTPU_FUSE_B): the WHOLE flow runs as ONE fused
+        XLA program — at B=1 the staged path pays ~15 sequential 25-40 ms
+        dispatch latencies through the device relay, which the fused program
+        collapses into a single dispatch (round-5 latency mode)."""
+        from ..config import get_config
+
+        B = pi.shape[0]
+        if 0 < B <= get_config().fuse_b_max:
+            return self._fused("fused_prove", self._prove_flow)(
+                keys, deck_in, deck_out, pi, rho_c, rand
+            )
+        return self._prove_flow(keys, deck_in, deck_out, pi, rho_c, rand)
+
+    def _fused(self, name: str, flow):
+        key = self._k(name)
+        fn = _PROGS.get(key)
+        if fn is None:
+            jfn = jax.jit(flow)
+
+            def run(*a, _jfn=jfn):
+                _FUSING[0] = True
+                try:
+                    return _jfn(*a)  # first call traces the stage bodies inline
+                finally:
+                    _FUSING[0] = False
+
+            fn = run
+            _PROGS[key] = fn
+        return fn
+
+    def _prove_flow(
+        self,
+        keys: ShuffleKeys,
+        deck_in: Ciphertexts,
+        deck_out: Ciphertexts,
+        pi: jnp.ndarray,
+        rho_c: jnp.ndarray,
+        rand: ShuffleRand,
+    ) -> ShuffleProofDev:
         cv, m, n, fr = self.cv, self.m, self.n, self.fr
 
         st = self.p_stmt()(keys, deck_in, deck_out)
@@ -907,6 +955,24 @@ class StagedShuffle:
         return _prog(self._k("flags", debug), build)
 
     def verify(
+        self,
+        keys: ShuffleKeys,
+        deck_in: Ciphertexts,
+        deck_out: Ciphertexts,
+        proof: ShuffleProofDev,
+    ) -> ShuffleChecks:
+        """Batch-first verify; fuses into one program at B <= fuse_b_max
+        (see `prove`)."""
+        from ..config import get_config
+
+        B = proof.c_a.x.shape[0]
+        if 0 < B <= get_config().fuse_b_max:
+            return self._fused("fused_verify", self._verify_flow)(
+                keys, deck_in, deck_out, proof
+            )
+        return self._verify_flow(keys, deck_in, deck_out, proof)
+
+    def _verify_flow(
         self,
         keys: ShuffleKeys,
         deck_in: Ciphertexts,

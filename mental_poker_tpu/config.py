@@ -38,6 +38,9 @@ class RuntimeConfig:
     pallas: bool | None = None            # MPTPU_PALLAS: None = auto (TPU only)
     pallas_msm: bool = True               # MPTPU_PALLAS_MSM: lane MSM kernel
     fixed_window_bits: int = 4            # MPTPU_FIXED_WINDOW (bench sets 8)
+    fuse_b_max: int = 0                   # MPTPU_FUSE_B: batches <= this run
+                                          # the whole prove/verify as ONE
+                                          # fused program (latency mode)
     # --- observability ---
     stage_timing: bool = False            # MPTPU_STAGE_TIMING
     profile_dir: str | None = None        # MPTPU_PROFILE (jax.profiler trace dir)
@@ -62,6 +65,7 @@ class RuntimeConfig:
             fixed_window_bits=int(
                 os.environ.get("MPTPU_FIXED_WINDOW", d.fixed_window_bits)
             ),
+            fuse_b_max=int(os.environ.get("MPTPU_FUSE_B", d.fuse_b_max)),
             stage_timing=bool(_env_bool("MPTPU_STAGE_TIMING", False)),
             profile_dir=os.environ.get("MPTPU_PROFILE") or None,
             bench_mode=os.environ.get("MPTPU_BENCH_MODE", d.bench_mode),

@@ -114,11 +114,36 @@ def msm(
         engine != "gather"
         and pallas_field.use_pallas()
         and get_config().pallas_msm
-        and B >= 2
+        and (B >= 2 or N >= 16)
     ):
         from .pallas import msm as pallas_msm
 
-        out = pallas_msm.msm_lanes(cv, P, k, c)
+        # Wide-split mapping (round-5): a small-statement-count MSM leaves
+        # most of the kernel's 128 lanes idle while paying the full
+        # sequential point loop — the BASELINE "1024-element deck" stress
+        # shape is a single statement. Split each statement's N points
+        # across F lanes (F a power of two), run the lane kernel on S*F
+        # statements of N/F points, and tree-combine the F partials with one
+        # XLA-level sum. msm_1024: 1024 sequential point-steps -> 8.
+        F = 1
+        nc = pallas_msm.DEFAULT_NC
+        while B * F * 2 <= 128 and N >= 2 * F * max(nc, 8):
+            F *= 2
+        if F > 1:
+            Nf = -(-N // F)
+            if Nf * F != N:
+                padn = Nf * F - N
+                k = jnp.concatenate([k, jnp.zeros((B, padn, L), k.dtype)], 1)
+                P = PointP(
+                    *(jnp.concatenate([q, jnp.zeros((B, padn, fL), q.dtype)], 1) for q in P)
+                )
+            k = k.reshape(B * F, Nf, L)
+            P = PointP(*(q.reshape(B * F, Nf, fL) for q in P))
+            out = pallas_msm.msm_lanes(cv, P, k, c)
+            out = PointP(*(q.reshape(B, F, fL) for q in out))
+            out = cv.sum_points(out, axis=1)
+        else:
+            out = pallas_msm.msm_lanes(cv, P, k, c)
         return PointP(*(q.reshape(batch + (fL,)) for q in out))
 
     key = (id(cv), c)
