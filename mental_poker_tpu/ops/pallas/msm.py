@@ -400,7 +400,15 @@ MAX_N_PER_CALL = 52
 
 # Points folded per sequential kernel step (the chunked kernel); 1 selects
 # the original one-point-per-step kernel. Env override: MPTPU_MSM_NC.
-DEFAULT_NC = int(os.environ.get("MPTPU_MSM_NC", "8") or 8)
+#
+# Default 1: the chunked kernel is bit-correct on hardware (validated at
+# nc=2 and nc=8, S=4 N=16) and cuts sequential add-depth ~6x, but its
+# Mosaic/axon compile time explodes with NC at production shapes — the
+# (N=52, S=512) verifier-combo program was still compiling after 55 min at
+# NC=8 (vs 274 s for the NC=1 kernel at the same shape), which makes it
+# undeployable through this round's relay. Opt in per call (nc=) or via
+# MPTPU_MSM_NC once a faster-compiling toolchain is available.
+DEFAULT_NC = int(os.environ.get("MPTPU_MSM_NC", "1") or 1)
 
 
 def msm_lanes(cv, points, scalars, c: int = 4, block_lanes: int = 128,
