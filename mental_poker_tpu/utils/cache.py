@@ -34,6 +34,7 @@ def raise_stack_limit(nbytes: int = 1 << 29) -> None:
 
 
 _CACHE_WRITE_CHILDREN: list = []
+_CACHE_WRITE_NAMES: dict = {}
 
 
 def _patch_cache_write_isolated() -> None:
@@ -51,6 +52,7 @@ def _patch_cache_write_isolated() -> None:
     never crashes. Only applied to CPU-backend writes (TPU serialization has
     no such issue and forking with a live TPU client is unsafe).
     """
+    import atexit as _atexit
     import os as _os
     import signal as _signal
 
@@ -60,16 +62,43 @@ def _patch_cache_write_isolated() -> None:
         return
     orig = cc.put_executable_and_time
 
-    def _reap():
+    def _log_failure(pid: int, status: int) -> None:
+        """A child died without exit(0): that cache entry was dropped.
+
+        Record WHICH program so dropped entries are diagnosable (VERDICT r4
+        #9: the writer previously dropped them silently) — the log lives next
+        to the cache so a warm run that recompiles can be correlated.
+        """
+        name = _CACHE_WRITE_NAMES.pop(pid, "?")
+        try:
+            import jax as _jax
+
+            d = _jax.config.jax_compilation_cache_dir or "."
+            with open(_os.path.join(d, "serialize_failures.log"), "a") as f:
+                sig, code = status & 0x7F, status >> 8
+                f.write(f"pid={pid} signal={sig} exit={code} module={name}\n")
+        except OSError:
+            pass
+
+    def _reap(block: bool = False):
         alive = []
         for pid in _CACHE_WRITE_CHILDREN:
             try:
-                done, _ = _os.waitpid(pid, _os.WNOHANG)
+                done, status = _os.waitpid(pid, 0 if block else _os.WNOHANG)
                 if done == 0:
                     alive.append(pid)
+                elif status != 0:
+                    _log_failure(pid, status)
+                else:
+                    _CACHE_WRITE_NAMES.pop(pid, None)
             except ChildProcessError:
-                pass
+                _CACHE_WRITE_NAMES.pop(pid, None)
         _CACHE_WRITE_CHILDREN[:] = alive
+
+    # ensure in-flight writes finish (and failures get logged) at exit —
+    # otherwise the largest programs, whose writes take longest, lose their
+    # entries whenever the process ends right after compiling them.
+    _atexit.register(lambda: _reap(block=True))
 
     def wrapped(cache_key, module_name, executable, backend, compile_time):
         platform = getattr(backend, "platform", "")
@@ -86,15 +115,16 @@ def _patch_cache_write_isolated() -> None:
             _warnings.simplefilter("ignore", DeprecationWarning)
             pid = _os.fork()
         if pid == 0:
-            # child: bounded lifetime, quiet death on the XLA serialize bug
+            # child: bounded lifetime; exit(0) only on a CLEAN write so the
+            # parent can log dropped entries (crashes exit via the signal)
             try:
                 _signal.alarm(600)
                 orig(cache_key, module_name, executable, backend, compile_time)
-            except BaseException:
-                pass
-            finally:
                 _os._exit(0)
+            except BaseException:
+                _os._exit(1)
         _CACHE_WRITE_CHILDREN.append(pid)
+        _CACHE_WRITE_NAMES[pid] = str(module_name)
 
     cc.put_executable_and_time = wrapped
     cc._mptpu_fork_patch = True
