@@ -99,6 +99,7 @@ def _patch_cache_write_isolated() -> None:
     # otherwise the largest programs, whose writes take longest, lose their
     # entries whenever the process ends right after compiling them.
     _atexit.register(lambda: _reap(block=True))
+    cc._mptpu_reap = _reap
 
     def wrapped(cache_key, module_name, executable, backend, compile_time):
         platform = getattr(backend, "platform", "")
